@@ -1,0 +1,183 @@
+"""Batched greedy transducer decode, fully on-chip.
+
+The reference drives the symbol loop from host Python / a fused C++ update op
+(reference: models/decoder.py:96-212, mlperf_plugins greedy_decode_update).
+Here the ENTIRE utterance->tokens path — encoder, per-symbol prediction +
+joint, masked state updates, early-exit — is one jitted function whose inner
+loop is a ``jax.lax.while_loop``, so no host round-trips happen per symbol.
+
+Mask algebra reproduced exactly (reference: models/decoder.py:125-168):
+  update_g = (symbol != BLANK) & (symbols_added != max_symbols_per_step) & ~finish
+      -> emit: append symbol, commit prediction state, keep time
+  update_f = ~update_g & ~finish
+      -> advance time; finish |= time_idx >= f_lens; clamp time to eos;
+         reset symbols_added
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rnnt_inference_tpu.config import RNNTParams
+from rnnt_inference_tpu.models import rnnt as model
+from rnnt_inference_tpu.models.weights import RNNTWeights
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_pytree_dataclass
+class DecodeState:
+    """Everything carried across streaming chunks
+    (reference: models/decoder.py:32-78 allocates these per forward)."""
+
+    enc: model.EncoderState
+    res: jax.Array  # (N, max_res_len) int32, -1 padded
+    res_idx: jax.Array  # (N,) int32, -1 = empty
+    pre_g: jax.Array  # (N,) int32 last emitted symbol, SOS initially
+    hg: jax.Array  # (PRED_L, N, P)
+    cg: jax.Array  # (PRED_L, N, P) f32
+
+
+def init_decode_state(
+    batch: int,
+    params: RNNTParams = RNNTParams(),
+    enc_dtype=jnp.float32,
+    pred_dtype=jnp.float32,
+) -> DecodeState:
+    P = params.pred_hidden_size
+    L = params.pred_num_layers
+    return DecodeState(
+        enc=model.init_encoder_state(batch, params, enc_dtype),
+        res=jnp.full((batch, params.max_res_len), -1, jnp.int32),
+        res_idx=jnp.full((batch,), -1, jnp.int32),
+        pre_g=jnp.full((batch,), params.SOS, jnp.int32),
+        hg=jnp.zeros((L, batch, P), pred_dtype),
+        cg=jnp.zeros((L, batch, P), jnp.float32),
+    )
+
+
+def greedy_decode_chunk(
+    weights: RNNTWeights,
+    state: DecodeState,
+    f: jax.Array,
+    f_lens: jax.Array,
+    params: RNNTParams = RNNTParams(),
+) -> DecodeState:
+    """Run the symbol loop over one already-encoded chunk.
+
+    f: {T2, N, 1024} encoder output, f_lens: {N} valid POST-stack frames.
+    """
+    T2, N, _ = f.shape
+    eos_idx = jnp.maximum(f_lens - 1, 0)
+    finish0 = f_lens == 0
+    batch_arange = jnp.arange(N, dtype=jnp.int32)
+    max_iters = T2 * (params.max_symbols_per_step + 1) + 1
+
+    def cond(carry):
+        (_, _, _, _, _, _, _, finish, it) = carry
+        return jnp.logical_and(~jnp.all(finish), it < max_iters)
+
+    def body(carry):
+        (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it) = carry
+        # current encoder frame per lane
+        fi = jnp.take_along_axis(f, time_idx[None, :, None], axis=0)[0]
+        # prediction is always computed from the *committed* state; it is only
+        # committed for lanes that emit (reference: models/decoder.py:127,147-151)
+        g, hg_new, cg_new = model.prediction_step(weights, pre_g, hg, cg, params)
+        y = model.joint(weights, fi, g)
+        symbols = jnp.argmax(y, axis=-1).astype(jnp.int32)
+
+        update_g = (
+            (symbols != params.BLANK)
+            & (symbols_added != params.max_symbols_per_step)
+            & ~finish
+        )
+        # 4.1-4.3: emit
+        res_idx = res_idx + update_g.astype(jnp.int32)
+        write_idx = jnp.where(update_g, res_idx, params.max_res_len)  # OOB -> drop
+        res = res.at[batch_arange, write_idx].set(symbols, mode="drop")
+        symbols_added = symbols_added + update_g.astype(jnp.int32)
+        pre_g = jnp.where(update_g, symbols, pre_g)
+        sel = update_g[None, :, None]
+        hg = jnp.where(sel, hg_new, hg)
+        cg = jnp.where(sel, cg_new, cg)
+
+        # 5.1-5.4: advance time
+        update_f = ~update_g & ~finish
+        time_idx = time_idx + update_f.astype(jnp.int32)
+        finish = finish | (time_idx >= f_lens)
+        time_idx = jnp.minimum(time_idx, eos_idx)
+        symbols_added = jnp.where(update_f, 0, symbols_added)
+        return (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it + 1)
+
+    carry0 = (
+        state.res,
+        state.res_idx,
+        state.pre_g,
+        state.hg,
+        state.cg,
+        jnp.zeros((N,), jnp.int32),
+        jnp.zeros((N,), jnp.int32),
+        finish0,
+        jnp.int32(0),
+    )
+    res, res_idx, pre_g, hg, cg, *_ = jax.lax.while_loop(cond, body, carry0)
+    return DecodeState(
+        enc=state.enc, res=res, res_idx=res_idx, pre_g=pre_g, hg=hg, cg=cg
+    )
+
+
+def decode_chunk(
+    weights: RNNTWeights,
+    state: DecodeState,
+    x: jax.Array,
+    x_lens: jax.Array,
+    params: RNNTParams = RNNTParams(),
+) -> DecodeState:
+    """Encode one feature chunk and decode it: the streaming unit of work."""
+    f, enc = model.transcription(weights, x, x_lens, state.enc, params)
+    f_lens = -(-x_lens // params.stack_time_factor)  # ceil, matches decoder.py:119
+    state = dataclasses.replace(state, enc=enc)
+    return greedy_decode_chunk(weights, state, f, f_lens, params)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "split_len"))
+def greedy_decode(
+    weights: RNNTWeights,
+    x: jax.Array,
+    x_lens: jax.Array,
+    params: RNNTParams = RNNTParams(),
+    split_len: int = -1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full-utterance batched greedy decode.
+
+    x: {T, N, 240} features, x_lens: {N} valid frames.
+    split_len > 0 streams the encoder in fixed chunks carrying LSTM state
+    (reference: models/decoder.py:80-93).
+    Returns (res {N, max_res_len} int32 -1-padded, res_lens {N} int32).
+    """
+    T, N, _ = x.shape
+    enc_dtype = weights.pre_rnn[0].w_ih.dtype
+    pred_dtype = weights.pred_rnn[0].w_ih.dtype
+    state = init_decode_state(N, params, enc_dtype, pred_dtype)
+    x_lens = x_lens.astype(jnp.int32)
+
+    if split_len == -1:
+        state = decode_chunk(weights, state, x, x_lens, params)
+    else:
+        for split_idx in range(0, T, split_len):
+            xi = x[split_idx : split_idx + split_len]
+            xi_lens = jnp.minimum(
+                jnp.int32(split_len), jnp.maximum(x_lens - split_idx, 0)
+            )
+            state = decode_chunk(weights, state, xi, xi_lens, params)
+    return state.res, state.res_idx + 1

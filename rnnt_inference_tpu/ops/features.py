@@ -1,0 +1,228 @@
+"""Log-mel feature frontend as pure XLA ops.
+
+Behavioral contract (reference: datasets/parts/features.py:94-270 and the
+mlperf_plugins feature ops bound at models/_C.py:32-40):
+
+  1. preemphasis: y[t] = x[t] - 0.97 * x[t-1], length-masked
+  2. STFT: n_fft=512, win=320 (hann, periodic=False, centered inside 512),
+     hop=160, center=True-equivalent via n_fft/2 reflect? -> the reference
+     pads n_fft/2 zeros around the signal in its custom preemphasis op and
+     calls torch.stft(center=False); frame count = floor(len/hop) + 1
+  3. power spectrum |STFT|^2
+  4. + dither^2 (deterministic dithering, features.py:218-220)
+  5. mel filterbank (librosa slaney-norm, htk=False) matmul + 1e-20 bias, log
+  6. frame splicing x3: stack [x[t], x[t+1], x[t+2]] channel-wise, stride 3
+  7. per-feature mean/var normalization over valid frames (unbiased std + 1e-5)
+
+The whole pipeline is jittable with static shapes; everything maps onto MXU
+(STFT + mel as matmuls) and VPU (elementwise).  No torch, no librosa.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnnt_inference_tpu.config import FeaturizerConfig
+
+
+# ---------------------------------------------------------------------------
+# Filterbank construction (numpy, at trace time) — librosa-compatible
+# ---------------------------------------------------------------------------
+
+
+def _hz_to_mel(f: np.ndarray) -> np.ndarray:
+    """Slaney mel scale (librosa default, htk=False)."""
+    f = np.asarray(f, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (f - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = math.log(6.4) / 27.0
+    log_region = f >= min_log_hz
+    mels = np.where(
+        log_region,
+        min_log_mel + np.log(np.maximum(f, min_log_hz) / min_log_hz) / logstep,
+        mels,
+    )
+    return mels
+
+
+def _mel_to_hz(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = math.log(6.4) / 27.0
+    log_region = m >= min_log_mel
+    freqs = np.where(
+        log_region, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs
+    )
+    return freqs
+
+
+def mel_filterbank(
+    sample_rate: int, n_fft: int, n_mels: int, fmin: float, fmax: float
+) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank, shape (n_mels, n_fft//2+1).
+
+    Matches librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax) defaults
+    (norm='slaney', htk=False), which the reference feeds into its mel matmul
+    (datasets/parts/features.py:142-155).
+    """
+    fftfreqs = np.linspace(0, sample_rate / 2, n_fft // 2 + 1)
+    mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fftfreqs[None, :]
+
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    fb = np.maximum(0, np.minimum(lower, upper))
+    # slaney norm: scale each filter by 2 / bandwidth
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    fb *= enorm[:, None]
+    return fb.astype(np.float32)
+
+
+def hann_window(win_length: int) -> np.ndarray:
+    """torch.hann_window(win_length, periodic=False)."""
+    if win_length == 1:
+        return np.ones(1, dtype=np.float32)
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 * (1 - np.cos(2 * np.pi * n / (win_length - 1)))).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _frontend_constants(cfg: FeaturizerConfig):
+    """Precompute window-DFT and mel matrices as numpy (trace-time)."""
+    n_fft = cfg.n_fft
+    win = hann_window(cfg.win_length)
+    # window centered inside the n_fft frame (torch.stft pads win to n_fft)
+    pad_l = (n_fft - cfg.win_length) // 2
+    win_full = np.zeros(n_fft, dtype=np.float64)
+    win_full[pad_l : pad_l + cfg.win_length] = win
+    # Real-DFT as two matmul matrices folded with the window:
+    # frame (n_fft,) @ [cos|sin] (n_fft, 2*(n_fft//2+1))
+    k = np.arange(n_fft // 2 + 1)
+    n = np.arange(n_fft)
+    ang = -2.0 * np.pi * np.outer(n, k) / n_fft
+    cos_m = (np.cos(ang) * win_full[:, None]).astype(np.float32)
+    sin_m = (np.sin(ang) * win_full[:, None]).astype(np.float32)
+    fb = mel_filterbank(cfg.sample_rate, n_fft, cfg.n_mels, cfg.lowfreq, cfg.fmax)
+    return cos_m, sin_m, fb
+
+
+# ---------------------------------------------------------------------------
+# Pipeline stages
+# ---------------------------------------------------------------------------
+
+
+def preemphasis(x: jax.Array, x_lens: jax.Array, coeff: float = 0.97) -> jax.Array:
+    """y[t] = x[t] - coeff*x[t-1], zeroed past each waveform's length
+    (reference: mlperf_plugins preemphasis, models/_C.py:38)."""
+    y = x - coeff * jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
+    t = jnp.arange(x.shape[1], dtype=x_lens.dtype)[None, :]
+    return jnp.where(t < x_lens[:, None], y, 0.0)
+
+
+def frame_signal(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    """Reflect-pad n_fft//2 both sides (torch.stft center=True semantics,
+    matching the upstream featurizer the checkpoint was trained with) and
+    slice frames.
+
+    x: (N, S) -> frames (N, T, n_fft) with T = S//hop + 1.
+    """
+    N, S = x.shape
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    T = S // hop + 1
+    # gather frames via strided reshape: indices (T, n_fft)
+    starts = jnp.arange(T) * hop
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+    return x[:, idx]  # (N, T, n_fft)
+
+
+def power_spectrum(frames: jax.Array, cos_m: jax.Array, sin_m: jax.Array) -> jax.Array:
+    """|windowed DFT|^2 via two MXU matmuls (replaces torch.stft +
+    mlperf_plugins power_spectrum)."""
+    re = jnp.dot(frames, cos_m, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_m, preferred_element_type=jnp.float32)
+    return re * re + im * im
+
+
+def frame_splice(x: jax.Array, splicing: int) -> jax.Array:
+    """Stack `splicing` consecutive frames channel-wise with stride `splicing`.
+
+    x: (N, T, C) -> (N, ceil(T/splicing), C*splicing).  Frames beyond T are
+    zero (reference: datasets/parts/features.py:79-91 splice_frames).
+    """
+    N, T, C = x.shape
+    # each shifted copy keeps original frame count T, zero past end like the
+    # reference's tmp[:, :, :-n] = x[:, :, n:]
+    shifted = [x]
+    for n in range(1, splicing):
+        shifted.append(jnp.pad(x[:, n:], ((0, 0), (0, n), (0, 0))))
+    y = jnp.concatenate(shifted, axis=2)  # (N, T, C*splicing)
+    return y[:, ::splicing]
+
+
+def normalize_per_feature(
+    x: jax.Array, x_lens: jax.Array, std_constant: float = 1e-5
+) -> jax.Array:
+    """Per-utterance per-channel mean/var normalization over valid frames,
+    unbiased std + CONSTANT (reference: datasets/parts/features.py:52-65)."""
+    N, T, C = x.shape
+    valid = (jnp.arange(T)[None, :] < x_lens[:, None]).astype(x.dtype)  # (N, T)
+    denom = jnp.maximum(x_lens.astype(x.dtype), 1.0)[:, None]  # (N, 1)
+    masked = x * valid[:, :, None]
+    mean = jnp.sum(masked, axis=1) / denom  # (N, C)
+    diff = (x - mean[:, None, :]) * valid[:, :, None]
+    var = jnp.sum(diff * diff, axis=1) / jnp.maximum(denom - 1.0, 1.0)
+    std = jnp.sqrt(var) + std_constant
+    return (x - mean[:, None, :]) / std[:, None, :]
+
+
+def log_mel_features(
+    x: jax.Array,
+    x_lens: jax.Array,
+    cfg: FeaturizerConfig = FeaturizerConfig(),
+) -> Tuple[jax.Array, jax.Array]:
+    """Full frontend: waveforms {N, S} -> features {T_out, N, 240}, lens {N}.
+
+    Output is time-major ready for the encoder (the reference permutes
+    {N,C,T}->{T,N,C} in the SUT, csrc/torch_sut.cpp:200).
+    """
+    cos_m, sin_m, fb = _frontend_constants(cfg)
+    cos_m, sin_m = jnp.asarray(cos_m), jnp.asarray(sin_m)
+    fb_t = jnp.asarray(fb.T)  # (n_freq, n_mels)
+
+    x = preemphasis(x, x_lens, cfg.preemph)
+    frames = frame_signal(x, cfg.n_fft, cfg.hop_length)  # (N, T, n_fft)
+    spec = power_spectrum(frames, cos_m, sin_m)  # (N, T, n_freq)
+    frame_lens = x_lens // cfg.hop_length + 1
+
+    if cfg.dither > 0:
+        spec = spec + cfg.dither**2
+    mel = jnp.dot(spec, fb_t, preferred_element_type=jnp.float32) + 1e-20
+    if cfg.log:
+        mel = jnp.log(mel)
+
+    if cfg.frame_splicing > 1:
+        mel = frame_splice(mel, cfg.frame_splicing)  # (N, T', C*3)
+    out_lens = -(-frame_lens // cfg.frame_splicing)
+
+    if cfg.normalize == "per_feature":
+        mel = normalize_per_feature(mel, out_lens)
+
+    # zero padded frames and go time-major
+    T = mel.shape[1]
+    valid = jnp.arange(T)[None, :, None] < out_lens[:, None, None]
+    mel = jnp.where(valid, mel, 0.0)
+    return mel.transpose(1, 0, 2), out_lens.astype(jnp.int32)

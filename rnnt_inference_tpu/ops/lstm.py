@@ -1,0 +1,138 @@
+"""LSTM compute path as XLA-friendly functional ops.
+
+TPU-native structure (not a port of the reference's AMX kernels,
+reference: models/quant_lstm.py, mlperf_plugins lstm_amx_*):
+
+  - The input projection ``x @ W_ih`` for a whole (T, N) chunk is hoisted out
+    of the recurrence into ONE large matmul of shape (T*N, IC) @ (IC, 4H) —
+    fully parallel, maps straight onto the MXU.
+  - Only the sequential part ``h @ W_hh`` + gate math runs inside a
+    ``lax.scan`` over time.  XLA keeps h/c in registers/VMEM between steps.
+  - Matmuls run in the weights' dtype (bf16 on the hot path) with f32
+    accumulation (preferred_element_type); cell state is always f32 — the
+    reference's f16 cell (models/decoder.py:41) is an AMX-era compromise that
+    TPU has no reason to copy.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rnnt_inference_tpu.models.weights import LSTMLayerWeights
+
+
+def lstm_cell(
+    xw: jax.Array, h: jax.Array, c: jax.Array, w_hh: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """One LSTM step given the precomputed input projection ``xw = x@W_ih + b``.
+
+    Gate order (i, f, g, o) matches torch so checkpoints import unchanged.
+    Returns (h', c') with c' in f32.
+    """
+    gates = xw + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c_new = f * c.astype(jnp.float32) + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_layer(
+    layer: LSTMLayerWeights,
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run one LSTM layer over a (T, N, IC) chunk.
+
+    Returns (y {T,N,H} in x.dtype, h {N,H}, c {N,H} f32).
+    """
+    compute_dtype = layer.w_ih.dtype
+    x = x.astype(compute_dtype)
+    # Hoisted input projection: one big MXU matmul for the whole chunk.
+    xw = (
+        jnp.dot(x, layer.w_ih, preferred_element_type=jnp.float32)
+        + layer.b.astype(jnp.float32)
+    )
+
+    h0 = h0.astype(compute_dtype)
+    c0 = c0.astype(jnp.float32)
+
+    def step(carry, xw_t):
+        h, c = carry
+        h_new, c_new = lstm_cell(xw_t, h, c, layer.w_hh)
+        h_out = h_new.astype(compute_dtype)
+        return (h_out, c_new), h_out
+
+    (h, c), ys = jax.lax.scan(step, (h0, c0), xw)
+    return ys, h, c
+
+
+def lstm_stack(
+    layers: Sequence[LSTMLayerWeights],
+    x: jax.Array,
+    hs: jax.Array,
+    cs: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Multi-layer LSTM over a chunk.  hs/cs are stacked (L, N, H).
+
+    Mirrors the fused multi-layer op contract of the reference
+    (models/quant_lstm.py:92-101) but as composable functional layers.
+    """
+    new_h = []
+    new_c = []
+    y = x
+    for l, layer in enumerate(layers):
+        y, h, c = lstm_layer(layer, y, hs[l], cs[l])
+        new_h.append(h)
+        new_c.append(c)
+    return y, jnp.stack(new_h), jnp.stack(new_c)
+
+
+def lstm_single_step(
+    layers: Sequence[LSTMLayerWeights],
+    x: jax.Array,
+    hs: jax.Array,
+    cs: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One timestep through a multi-layer LSTM (the prediction-net hot path,
+    U=1 in the greedy decode loop; reference models/modeling_rnnt.py:183-205).
+
+    x: (N, IC).  Returns (y {N,H}, hs', cs').
+    """
+    new_h = []
+    new_c = []
+    y = x
+    for l, layer in enumerate(layers):
+        compute_dtype = layer.w_ih.dtype
+        xw = (
+            jnp.dot(y.astype(compute_dtype), layer.w_ih, preferred_element_type=jnp.float32)
+            + layer.b.astype(jnp.float32)
+        )
+        h_new, c_new = lstm_cell(xw, hs[l].astype(compute_dtype), cs[l], layer.w_hh)
+        y = h_new.astype(compute_dtype)
+        new_h.append(y)
+        new_c.append(c_new)
+    return y, jnp.stack(new_h), jnp.stack(new_c)
+
+
+def stack_time(x: jax.Array, x_lens: jax.Array, factor: int = 2) -> jax.Array:
+    """Time-downsample {T,N,C} -> {ceil(T/factor),N,C*factor}, zeroing frames
+    beyond each utterance's length first (reference: models/modeling_rnnt.py:314-324).
+    """
+    T, N, C = x.shape
+    t_idx = jnp.arange(T, dtype=x_lens.dtype)[:, None]
+    x = jnp.where((t_idx < x_lens[None, :])[:, :, None], x, 0)
+    pad = (-T) % factor
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, N, C), x.dtype)], axis=0)
+    Tp = x.shape[0] // factor
+    # {T,N,C} -> {N,T,C} -> {N,Tp,factor*C} -> {Tp,N,factor*C}
+    x = x.transpose(1, 0, 2).reshape(N, Tp, factor * C).transpose(1, 0, 2)
+    return x

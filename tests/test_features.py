@@ -1,0 +1,117 @@
+"""Feature-frontend parity vs a torch.stft-based oracle of the reference
+pipeline (datasets/parts/features.py:186-252 semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from rnnt_inference_tpu.config import FeaturizerConfig
+from rnnt_inference_tpu.ops.features import (
+    frame_splice,
+    hann_window,
+    log_mel_features,
+    mel_filterbank,
+    normalize_per_feature,
+    preemphasis,
+)
+
+
+def torch_ref_features(x_np, lens_np, cfg: FeaturizerConfig):
+    """Eager torch oracle: preemphasis -> stft(center) -> |.|^2 -> +dither^2
+    -> mel -> log -> splice x3 -> per-feature normalize -> zero pad frames."""
+    x = torch.as_tensor(x_np.copy())
+    lens = torch.as_tensor(lens_np)
+    N, S = x.shape
+    # masked preemphasis
+    y = x - cfg.preemph * torch.nn.functional.pad(x[:, :-1], (1, 0))
+    t = torch.arange(S)[None, :]
+    y = torch.where(t < lens[:, None], y, torch.zeros(())).to(torch.float32)
+
+    win = torch.from_numpy(hann_window(cfg.win_length))
+    spec = torch.stft(
+        y,
+        n_fft=cfg.n_fft,
+        hop_length=cfg.hop_length,
+        win_length=cfg.win_length,
+        window=win,
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    )  # (N, F, T)
+    power = spec.real**2 + spec.imag**2
+    frame_lens = torch.div(lens, cfg.hop_length, rounding_mode="floor") + 1
+    power = power + cfg.dither**2
+
+    fb = torch.from_numpy(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.lowfreq, cfg.fmax))
+    mel = torch.log(fb @ power + 1e-20)  # (N, n_mels, T)
+
+    # frame splicing x3 (reference splice_frames)
+    seq = [mel]
+    for n in range(1, cfg.frame_splicing):
+        tmp = torch.zeros_like(mel)
+        tmp[:, :, :-n] = mel[:, :, n:]
+        seq.append(tmp)
+    spliced = torch.cat(seq, dim=1)[:, :, :: cfg.frame_splicing]  # (N, C*3, T')
+    out_lens = torch.div(frame_lens + cfg.frame_splicing - 1, cfg.frame_splicing, rounding_mode="floor")
+
+    # per-feature normalize over valid frames (unbiased std + 1e-5)
+    out = spliced.clone()
+    for i in range(N):
+        L = int(out_lens[i])
+        m = spliced[i, :, :L].mean(dim=1)
+        s = spliced[i, :, :L].std(dim=1) + 1e-5
+        out[i] = (spliced[i] - m[:, None]) / s[:, None]
+        out[i, :, L:] = 0.0
+    return out.permute(2, 0, 1).numpy(), out_lens.numpy().astype(np.int32)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_log_mel_features_match_torch(seed):
+    cfg = FeaturizerConfig()
+    rng = np.random.RandomState(seed)
+    N = 3
+    S = 16000  # 1 s
+    x = (rng.randn(N, S) * 0.1).astype(np.float32)
+    lens = np.array([S, S - 4000, S // 2], dtype=np.int32)
+
+    feats, out_lens = jax.jit(log_mel_features, static_argnames="cfg")(
+        jnp.asarray(x), jnp.asarray(lens), cfg
+    )
+    ref, ref_lens = torch_ref_features(x, lens, cfg)
+
+    np.testing.assert_array_equal(np.asarray(out_lens), ref_lens)
+    assert feats.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(feats), ref, rtol=1e-3, atol=2e-3)
+
+
+def test_frame_splice_matches_reference_logic():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 4).astype(np.float32))
+    out = frame_splice(x, 3)
+    assert out.shape == (2, 4, 12)
+    # frame 0 of output = [x0, x1, x2] channel-stacked
+    np.testing.assert_allclose(
+        np.asarray(out[:, 0]),
+        np.concatenate([np.asarray(x[:, 0]), np.asarray(x[:, 1]), np.asarray(x[:, 2])], -1),
+    )
+    # last output frame (t=9) has zeros for the x[10], x[11] shifts
+    np.testing.assert_allclose(np.asarray(out[:, 3, 4:]), np.zeros((2, 8)), atol=0)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(16000, 512, 80, 0.0, 8000.0)
+    assert fb.shape == (80, 257)
+    assert np.all(fb >= 0)
+    # every filter has nonzero support and slaney normalization keeps peak < 1
+    assert np.all(fb.sum(axis=1) > 0)
+    assert fb.max() < 0.1
+
+
+def test_preemphasis_masking():
+    x = jnp.ones((1, 10))
+    lens = jnp.array([6], jnp.int32)
+    y = preemphasis(x, lens, 0.97)
+    np.testing.assert_allclose(np.asarray(y[0, 6:]), np.zeros(4))
+    assert abs(float(y[0, 0]) - 1.0) < 1e-6
+    np.testing.assert_allclose(np.asarray(y[0, 1:6]), np.full(5, 0.03), rtol=1e-5)
