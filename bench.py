@@ -1,0 +1,92 @@
+"""Headline benchmark: Offline-scenario throughput on the local chip(s).
+
+Prints ONE JSON line:
+  {"metric": "offline_audio_seconds_per_second", "value": N,
+   "unit": "audio-s/s", "vs_baseline": N / 46500}
+
+Baseline: the reference (Intel MLPerf RNN-T, 2-socket SPR, 112 cores) targets
+6000 utt/s Offline over dev-clean (~7.75 s/utt) ~= 46,500 audio-seconds/s for
+the whole machine (BASELINE.md).  vs_baseline compares ONE TPU chip against
+that full 2-socket system.
+
+Env knobs: BENCH_N (samples, default 256), BENCH_BATCH (default 128),
+BENCH_SECONDS ("4,8,15" wav bucket ladder), BENCH_DTYPE (bf16|f32).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+from rnnt_inference_tpu.data.dataset import SampleStore
+from rnnt_inference_tpu.models.weights import init_weights
+from rnnt_inference_tpu.runtime.harness import run_offline
+from rnnt_inference_tpu.runtime.offline import OfflineRunner  # noqa: F401
+from rnnt_inference_tpu.runtime.qsl import QuerySampleLibrary
+
+BASELINE_AUDIO_S_PER_S = 46500.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    buckets = tuple(
+        float(s) for s in os.environ.get("BENCH_SECONDS", "4,8,15").split(",")
+    )
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    params = RNNTParams()
+    cfg = FeaturizerConfig()
+    weights = init_weights(jax.random.PRNGKey(0), params, dtype=dtype)
+
+    store = SampleStore.synthetic(n=n, seed=0)
+    qsl = QuerySampleLibrary(store, cfg, wav_buckets_s=buckets)
+    log(f"store: {n} utts, {store.audio_seconds:.0f} audio-s; "
+        f"buckets={qsl.wav_buckets}")
+
+    t0 = time.time()
+    report = run_offline(
+        weights,
+        store,
+        params,
+        cfg,
+        batch_size=batch,
+        warmup=True,  # untimed: stage to HBM + compile bucket shapes
+        device_resident=True,
+        wav_buckets_s=buckets,
+    )
+    log(f"total incl. staging+compile (untimed portion): {time.time()-t0:.1f}s")
+    log(f"run: {report.wall_seconds:.2f}s wall, "
+        f"{report.samples_per_second:.1f} utt/s, "
+        f"{report.audio_seconds_per_second:.0f} audio-s/s")
+
+    value = report.audio_seconds_per_second
+    print(
+        json.dumps(
+            {
+                "metric": "offline_audio_seconds_per_second",
+                "value": round(value, 1),
+                "unit": "audio-s/s",
+                "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Sample store: the RAM-resident utterance set served by the QSL.
+
+Replaces the reference's torch-serialized dataset dicts
+(dev-clean-npy.pt / dev-clean-input.pt, reference:
+datasets/convert_librispeech.py:150-163) with an .npz container holding
+either raw waveforms or precomputed features, plus transcripts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from rnnt_inference_tpu.config import FeaturizerConfig
+
+
+@dataclass
+class SampleStore:
+    """In-memory utterance set.
+
+    kind == "waveform": samples[i] is float32 (S_i,) audio at 16 kHz.
+    kind == "features": samples[i] is float32 (T_i, 240) log-mel features.
+    """
+
+    kind: str
+    samples: List[np.ndarray]
+    transcripts: List[str] = field(default_factory=list)
+
+    def __len__(self):
+        return len(self.samples)
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.array([s.shape[0] for s in self.samples], dtype=np.int32)
+
+    def feature_lengths(self, cfg: FeaturizerConfig = FeaturizerConfig()) -> np.ndarray:
+        """Post-frontend frame count per sample (used for length sorting)."""
+        if self.kind == "features":
+            return self.lengths
+        return np.array([cfg.out_frames(int(s.shape[0])) for s in self.samples], np.int32)
+
+    @property
+    def audio_seconds(self) -> float:
+        if self.kind == "waveform":
+            return float(sum(s.shape[0] for s in self.samples)) / 16000.0
+        # features: frames * splicing * hop / sr = frames * 0.03 s
+        return float(sum(s.shape[0] for s in self.samples)) * 0.03
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        arrays = {f"s{i}": s for i, s in enumerate(self.samples)}
+        np.savez_compressed(
+            path,
+            __meta__=np.frombuffer(
+                json.dumps(
+                    {"kind": self.kind, "n": len(self.samples), "transcripts": self.transcripts}
+                ).encode(),
+                dtype=np.uint8,
+            ),
+            **arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "SampleStore":
+        z = np.load(path)
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        samples = [z[f"s{i}"] for i in range(meta["n"])]
+        return cls(kind=meta["kind"], samples=samples, transcripts=meta["transcripts"])
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_manifest(cls, manifest, target_sr: int = 16000) -> "SampleStore":
+        """Load waveforms for every manifest entry (LibriSpeech-as-wav)."""
+        from rnnt_inference_tpu.data.audio import load_audio
+
+        samples = [load_audio(e["audio_filepath"], target_sr) for e in manifest]
+        return cls(
+            kind="waveform",
+            samples=samples,
+            transcripts=[e["transcript"] for e in manifest],
+        )
+
+    @classmethod
+    def synthetic(
+        cls,
+        n: int = 256,
+        seed: int = 0,
+        min_seconds: float = 1.0,
+        max_seconds: float = 15.0,
+        mean_seconds: float = 7.8,
+        sample_rate: int = 16000,
+    ) -> "SampleStore":
+        """Random utterances with a dev-clean-like duration distribution
+        (dev-clean: 2513 utts, ~7.8 s mean, <=15 s cap) for benchmarks and
+        tests when real audio is unavailable."""
+        rng = np.random.RandomState(seed)
+        # gamma-ish distribution clipped to [min, max]
+        durs = np.clip(rng.gamma(4.0, mean_seconds / 4.0, size=n), min_seconds, max_seconds)
+        samples = [
+            (rng.randn(int(d * sample_rate)) * 0.1).astype(np.float32) for d in durs
+        ]
+        return cls(kind="waveform", samples=samples, transcripts=[""] * n)
+
+
+def convert_librispeech(
+    data_dir: str,
+    manifest_path: str,
+    output_path: str,
+    max_duration: float = 15.0,
+) -> SampleStore:
+    """Offline one-shot conversion: manifest + wav files -> SampleStore npz
+    (the reference's convert_librispeech.py equivalent, minus sox)."""
+    from rnnt_inference_tpu.data.manifest import Manifest
+
+    manifest = Manifest([manifest_path], data_dir=data_dir, max_duration=max_duration)
+    store = SampleStore.from_manifest(manifest)
+    if output_path:
+        store.save(output_path)
+    return store

@@ -61,10 +61,24 @@ def transcription(
 
     x: {T, N, 240}, x_lens: {N} valid frames within this chunk.
     Returns f: {ceil(T/2), N, 1024} and the carried state.
+    Dispatches to the int8 path for QuantRNNTWeights (trace-time isinstance).
     """
-    y, pre_h, pre_c = lstm_stack(weights.pre_rnn, x, state.pre_h, state.pre_c)
-    y = stack_time(y, x_lens, params.stack_time_factor)
-    f, post_h, post_c = lstm_stack(weights.post_rnn, y, state.post_h, state.post_c)
+    from rnnt_inference_tpu.models.quant import QuantRNNTWeights
+
+    if isinstance(weights, QuantRNNTWeights):
+        from rnnt_inference_tpu.ops.lstm_int8 import quant_lstm_stack
+
+        y, pre_h, pre_c = quant_lstm_stack(
+            weights.pre_rnn, x, state.pre_h, state.pre_c, skip_quant_y=False
+        )
+        y = stack_time(y, x_lens, params.stack_time_factor)
+        f, post_h, post_c = quant_lstm_stack(
+            weights.post_rnn, y, state.post_h, state.post_c, skip_quant_y=True
+        )
+    else:
+        y, pre_h, pre_c = lstm_stack(weights.pre_rnn, x, state.pre_h, state.pre_c)
+        y = stack_time(y, x_lens, params.stack_time_factor)
+        f, post_h, post_c = lstm_stack(weights.post_rnn, y, state.post_h, state.post_c)
     return f, EncoderState(pre_h=pre_h, pre_c=pre_c, post_h=post_h, post_c=post_c)
 
 

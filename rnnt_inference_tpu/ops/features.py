@@ -138,15 +138,26 @@ def frame_signal(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
     slice frames.
 
     x: (N, S) -> frames (N, T, n_fft) with T = S//hop + 1.
+
+    TPU note: built from gcd-block reshape + strided slices + concat instead
+    of an arbitrary gather — gathers over ~100 MB waveforms are slow on the
+    VPU, strided slices are free for XLA to fuse.
     """
     N, S = x.shape
     pad = n_fft // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     T = S // hop + 1
-    # gather frames via strided reshape: indices (T, n_fft)
-    starts = jnp.arange(T) * hop
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
-    return x[:, idx]  # (N, T, n_fft)
+    g = math.gcd(n_fft, hop)  # block size (32 for 512/160)
+    step = hop // g
+    nblocks = step * (T - 1) + n_fft // g
+    total = nblocks * g
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    if x.shape[1] < total:
+        x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
+    blocks = x[:, :total].reshape(N, nblocks, g)
+    cols = [
+        blocks[:, k : k + step * (T - 1) + 1 : step] for k in range(n_fft // g)
+    ]
+    return jnp.concatenate(cols, axis=2)  # (N, T, n_fft)
 
 
 def power_spectrum(frames: jax.Array, cos_m: jax.Array, sin_m: jax.Array) -> jax.Array:

@@ -1,0 +1,93 @@
+"""Device mesh construction and sharding specs.
+
+TPU-native replacement for the reference's parallelism machinery (SURVEY §2.4):
+instance threads + socket clones become a ("data", "model") mesh —
+utterance batches shard over "data" (the reference's 28 instance threads,
+csrc/torch_sut.cpp:104-121), weights either replicate (the reference's
+per-socket model clones, rnnt_model.hpp:41-47 — free on TPU) or shard their
+gate/joint dimensions over "model" (tensor parallelism the CPU stack never
+had).  XLA GSPMD inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ("data", "model") mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, f"{n} devices not divisible by tp={model_parallel}"
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Features {T, N, C}: shard the batch axis over "data"."""
+    return NamedSharding(mesh, P(None, "data", None))
+
+
+def lens_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def weight_shardings(mesh: Mesh, weights, tensor_parallel: bool = True):
+    """Sharding pytree for RNNTWeights.
+
+    tensor_parallel=True shards every LSTM gate dimension (4H) and the joint
+    hidden dimension over "model" (Megatron-style: gate projections are
+    column-parallel; the joint output linear is row-parallel with an
+    all-reduce).  With model axis size 1 this degrades to full replication.
+    """
+    from rnnt_inference_tpu.models.weights import (
+        JointWeights,
+        LSTMLayerWeights,
+        RNNTWeights,
+    )
+
+    def lstm_spec(layer: LSTMLayerWeights) -> LSTMLayerWeights:
+        if not tensor_parallel:
+            return LSTMLayerWeights(
+                w_ih=NamedSharding(mesh, P()),
+                w_hh=NamedSharding(mesh, P()),
+                b=NamedSharding(mesh, P()),
+            )
+        return LSTMLayerWeights(
+            w_ih=NamedSharding(mesh, P(None, "model")),
+            w_hh=NamedSharding(mesh, P(None, "model")),
+            b=NamedSharding(mesh, P("model")),
+        )
+
+    if tensor_parallel:
+        joint = JointWeights(
+            w1_trans=NamedSharding(mesh, P(None, "model")),
+            w1_pred=NamedSharding(mesh, P(None, "model")),
+            b1=NamedSharding(mesh, P("model")),
+            w2=NamedSharding(mesh, P("model", None)),
+            b2=NamedSharding(mesh, P()),
+        )
+    else:
+        joint = JointWeights(*([NamedSharding(mesh, P())] * 5))
+
+    return RNNTWeights(
+        pre_rnn=[lstm_spec(l) for l in weights.pre_rnn],
+        post_rnn=[lstm_spec(l) for l in weights.post_rnn],
+        embed=NamedSharding(mesh, P()),
+        pred_rnn=[lstm_spec(l) for l in weights.pred_rnn],
+        joint=joint,
+    )

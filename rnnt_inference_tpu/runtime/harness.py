@@ -1,0 +1,152 @@
+"""Benchmark/accuracy harness: the mlperf-loadgen-shaped front door.
+
+Produces the same artifacts a reference run produces (reference:
+models/main.py:60-85, eval_accuracy.py:85-101):
+  - accuracy log JSON: [{qsl_idx, data: <hex int32 tokens>}] — byte-compatible
+    with the reference's mlperf_log_accuracy.json entries
+  - summary JSON with throughput (samples/s and audio-seconds/s) and WER
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+from rnnt_inference_tpu.data.dataset import SampleStore
+from rnnt_inference_tpu.models.weights import RNNTWeights
+from rnnt_inference_tpu.runtime.offline import OfflineRunner
+from rnnt_inference_tpu.runtime.qsl import QuerySampleLibrary
+from rnnt_inference_tpu.utils.labels import seq_to_sen
+from rnnt_inference_tpu.utils.wer import word_error_rate
+
+
+def tokens_to_hex(tokens: np.ndarray) -> str:
+    """int32 little-endian hex, matching the reference's response buffers
+    (csrc/torch_sut.cpp:221-236 responds res_len*4-byte int32 buffers)."""
+    return tokens.astype("<i4").tobytes().hex()
+
+
+def hex_to_tokens(data: str) -> np.ndarray:
+    return np.frombuffer(bytes.fromhex(data), dtype="<i4")
+
+
+@dataclass
+class RunReport:
+    scenario: str
+    samples: int
+    wall_seconds: float
+    samples_per_second: float
+    audio_seconds_per_second: float
+    wer: Optional[float] = None
+    hypotheses: List[str] = field(default_factory=list)
+    extra: dict = field(default_factory=dict)
+
+    def summary(self) -> dict:
+        d = dict(
+            scenario=self.scenario,
+            samples=self.samples,
+            wall_seconds=round(self.wall_seconds, 4),
+            samples_per_second=round(self.samples_per_second, 2),
+            audio_seconds_per_second=round(self.audio_seconds_per_second, 2),
+        )
+        if self.wer is not None:
+            d["wer_percent"] = round(self.wer * 100, 3)
+        d.update(self.extra)
+        return d
+
+
+def run_offline(
+    weights: RNNTWeights,
+    store: SampleStore,
+    params: RNNTParams = RNNTParams(),
+    cfg: FeaturizerConfig = FeaturizerConfig(),
+    batch_size: int = 128,
+    split_len: int = -1,
+    accuracy: bool = False,
+    output_dir: Optional[str] = None,
+    warmup: bool = True,
+    min_duration_s: float = 0.0,
+    runner: Optional[OfflineRunner] = None,
+    device_resident: bool = False,
+    wav_buckets_s=None,
+) -> RunReport:
+    """Offline scenario: issue the whole sample set as one query, measure
+    end-to-end throughput (reference run shape: run.sh:66-71).
+
+    device_resident=True stages samples into HBM untimed (the loadgen
+    LoadSamplesToRam analog) and times only the serve loop.
+    """
+    qsl = (
+        QuerySampleLibrary(store, cfg, wav_buckets_s=wav_buckets_s)
+        if wav_buckets_s
+        else QuerySampleLibrary(store, cfg)
+    )
+    runner = runner or OfflineRunner(weights, params, cfg, batch_size, split_len)
+
+    indices = np.arange(len(store))
+    reps = 0
+    total_wall = 0.0
+    result = None
+    if device_resident and store.kind == "waveform":
+        dqsl = qsl.load_to_device(batch_size)
+        if warmup:
+            runner.warmup_device(dqsl)
+        while result is None or total_wall < min_duration_s:
+            result = runner.run_device(dqsl)
+            total_wall += result.wall_seconds
+            reps += 1
+    else:
+        if warmup:
+            runner.warmup(qsl, waveform_mode=(store.kind == "waveform"))
+        while result is None or total_wall < min_duration_s:
+            result = runner.run(qsl, indices)
+            total_wall += result.wall_seconds
+            reps += 1
+
+    n = len(store) * reps
+    audio_s = store.audio_seconds * reps
+    report = RunReport(
+        scenario="Offline",
+        samples=n,
+        wall_seconds=total_wall,
+        samples_per_second=n / total_wall,
+        audio_seconds_per_second=audio_s / total_wall,
+        extra=dict(batches=result.batches, reps=reps, batch_size=batch_size),
+    )
+
+    hyps = [seq_to_sen(t, len(t)) for t in result.tokens]
+    report.hypotheses = hyps
+    if accuracy and any(store.transcripts):
+        wer, _, _ = word_error_rate(hyps, store.transcripts)
+        report.wer = wer
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        acc_log = [
+            {"qsl_idx": i, "data": tokens_to_hex(t)}
+            for i, t in enumerate(result.tokens)
+        ]
+        with open(os.path.join(output_dir, "accuracy_log.json"), "w") as f:
+            json.dump(acc_log, f)
+        with open(os.path.join(output_dir, "summary.json"), "w") as f:
+            json.dump(report.summary(), f, indent=2)
+    return report
+
+
+def eval_accuracy_log(log_path: str, references: List[str]) -> float:
+    """Score an accuracy log against reference transcripts
+    (reference: eval_accuracy.py:85-101)."""
+    with open(log_path) as f:
+        results = json.load(f)
+    hyps: List[Optional[str]] = [None] * len(results)
+    for r in results:
+        seq = hex_to_tokens(r["data"])
+        hyps[r["qsl_idx"]] = seq_to_sen(seq, len(seq))
+    wer, _, _ = word_error_rate([h or "" for h in hyps], references)
+    return wer

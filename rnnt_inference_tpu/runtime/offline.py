@@ -1,0 +1,167 @@
+"""Offline scenario runner: sort -> bucket-batch -> featurize+decode on device.
+
+TPU-native redesign of the reference Offline SUT (csrc/torch_sut.cpp:140-236):
+no thread pools or core pinning — one host thread feeds the chip with
+bucket-shaped batches; XLA's async dispatch overlaps host assembly of batch
+k+1 with device compute of batch k.  Warmup compiles the whole bucket ladder
+up front (replaces GenerateDummySamples, csrc/rnnt_qsl.cpp:136-147).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+from rnnt_inference_tpu.models.decoder import greedy_decode
+from rnnt_inference_tpu.models.weights import RNNTWeights
+from rnnt_inference_tpu.ops.features import log_mel_features
+from rnnt_inference_tpu.runtime.qsl import QuerySampleLibrary
+
+
+@dataclass
+class OfflineResult:
+    tokens: List[np.ndarray]  # per original sample index
+    wall_seconds: float
+    batches: int
+
+
+class OfflineRunner:
+    def __init__(
+        self,
+        weights: RNNTWeights,
+        params: RNNTParams = RNNTParams(),
+        cfg: FeaturizerConfig = FeaturizerConfig(),
+        batch_size: int = 128,
+        split_len: int = -1,
+    ):
+        self.weights = weights
+        self.params = params
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.split_len = split_len
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _pipeline(weights, wav, wav_lens):
+            feats, feat_lens = log_mel_features(wav, wav_lens, cfg)
+            return greedy_decode(
+                weights, feats, feat_lens, params=params, split_len=split_len
+            )
+
+        self._pipeline = _pipeline
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _decode(weights, feats, feat_lens):
+            return greedy_decode(
+                weights, feats, feat_lens, params=params, split_len=split_len
+            )
+
+        self._decode = _decode
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _pipeline_i16(weights, wav_i16, wav_lens):
+            wav = wav_i16.astype(jnp.float32) * (1.0 / 32767.0)
+            feats, feat_lens = log_mel_features(wav, wav_lens, cfg)
+            return greedy_decode(
+                weights, feats, feat_lens, params=params, split_len=split_len
+            )
+
+        self._pipeline_i16 = _pipeline_i16
+
+    # -- warmup: compile the bucket ladder ----------------------------------
+
+    def warmup(self, qsl: QuerySampleLibrary, waveform_mode: bool = True) -> float:
+        t0 = time.time()
+        # np.asarray (not block_until_ready) — the latter is unreliable on
+        # relayed backends; a tiny host readback guarantees compile+execute.
+        if waveform_mode:
+            for S in qsl.wav_buckets:
+                wav = jnp.zeros((self.batch_size, S), jnp.float32)
+                lens = jnp.full((self.batch_size,), S, jnp.int32)
+                _, rl = self._pipeline(self.weights, wav, lens)
+                np.asarray(rl)
+        else:
+            for T in qsl.feat_buckets:
+                feats = jnp.zeros((T, self.batch_size, self.cfg.out_feat), jnp.float32)
+                lens = jnp.full((self.batch_size,), T, jnp.int32)
+                _, rl = self._decode(self.weights, feats, lens)
+                np.asarray(rl)
+        return time.time() - t0
+
+    def warmup_device(self, dqsl) -> float:
+        """Compile each bucket shape present in a DeviceQSL (untimed)."""
+        t0 = time.time()
+        seen = set()
+        for wav, lens, _ri in dqsl.batches():
+            if wav.shape in seen:
+                continue
+            seen.add(wav.shape)
+            _, rl = self._pipeline_i16(self.weights, wav, lens)
+            np.asarray(rl)
+        return time.time() - t0
+
+    def run_device(self, dqsl) -> OfflineResult:
+        """Timed Offline loop over a device-resident QSL: on-device batch
+        slices -> featurize+decode; only token results come back to host."""
+        pending = []
+        t0 = time.time()
+        n_batches = 0
+        for wav, lens, row_index in dqsl.batches():
+            res, res_lens = self._pipeline_i16(self.weights, wav, lens)
+            pending.append((row_index, res, res_lens))
+            n_batches += 1
+        results: dict = {}
+        for row_index, res, res_lens in pending:
+            res = np.asarray(res)
+            res_lens = np.asarray(res_lens)
+            for r, i in enumerate(row_index):
+                if i >= 0:
+                    results[int(i)] = res[r, : res_lens[r]].astype(np.int32)
+        wall = time.time() - t0
+        tokens = [results[i] for i in sorted(results)]
+        return OfflineResult(tokens=tokens, wall_seconds=wall, batches=n_batches)
+
+    # -- the run -------------------------------------------------------------
+
+    def run(
+        self, qsl: QuerySampleLibrary, indices: Optional[Sequence[int]] = None
+    ) -> OfflineResult:
+        if indices is None:
+            indices = np.arange(len(qsl))
+        order = qsl.sort_desc(indices)
+        waveform_mode = qsl.store.kind == "waveform"
+
+        results: dict = {}
+        pending = []  # (batch_indices, res, res_lens) — drain async dispatches
+        t0 = time.time()
+        n_batches = 0
+        for start in range(0, len(order), self.batch_size):
+            batch_idx = order[start : start + self.batch_size]
+            if waveform_mode:
+                wav, lens, _ = qsl.assemble_waveforms(batch_idx, pad_n=self.batch_size)
+                res, res_lens = self._pipeline(
+                    self.weights, jnp.asarray(wav), jnp.asarray(lens)
+                )
+            else:
+                feats, lens, _ = qsl.assemble_features(batch_idx, pad_n=self.batch_size)
+                res, res_lens = self._decode(
+                    self.weights, jnp.asarray(feats), jnp.asarray(lens)
+                )
+            pending.append((batch_idx, res, res_lens))
+            n_batches += 1
+
+        for batch_idx, res, res_lens in pending:
+            res = np.asarray(res)
+            res_lens = np.asarray(res_lens)
+            for r, i in enumerate(batch_idx):
+                results[int(i)] = res[r, : res_lens[r]].astype(np.int32)
+        wall = time.time() - t0
+
+        tokens = [results[int(i)] for i in indices]
+        return OfflineResult(tokens=tokens, wall_seconds=wall, batches=n_batches)
