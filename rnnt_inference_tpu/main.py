@@ -1,0 +1,192 @@
+"""CLI entry point: calibrate -> quantize -> benchmark/accuracy.
+
+The staged flow of the reference's models/main.py (:19-89) and
+models/arguments.py, minus the TorchScript export stage (unneeded in JAX):
+
+  python -m rnnt_inference_tpu.main --model rnnt.pt --calibration \
+      --calib_file train.npz --calib_out rnnt_calib.npz
+  python -m rnnt_inference_tpu.main --model rnnt.pt --save_quant \
+      --calib_in rnnt_calib.npz --quant_out rnnt_quant.npz
+  python -m rnnt_inference_tpu.main --quant_in rnnt_quant.npz --benchmark \
+      --scenario Offline --sample_file dev-clean.npz --accuracy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("rnnt_inference_tpu")
+    # model artifacts
+    p.add_argument("--model", type=str, default=None,
+                   help="f32 checkpoint: zenodo rnnt.pt (torch) or weights .npz")
+    p.add_argument("--calib_in", type=str, default=None)
+    p.add_argument("--calib_out", type=str, default="rnnt_calib.npz")
+    p.add_argument("--quant_in", type=str, default=None)
+    p.add_argument("--quant_out", type=str, default="rnnt_quant.npz")
+    # run mode (reference: arguments.py run_mode {None,f32,calib,quant})
+    p.add_argument("--run_mode", type=str, default="bf16",
+                   choices=["f32", "bf16", "quant"])
+    # stages
+    p.add_argument("--calibration", action="store_true")
+    p.add_argument("--save_quant", action="store_true")
+    p.add_argument("--benchmark", action="store_true")
+    p.add_argument("--accuracy", action="store_true")
+    # data
+    p.add_argument("--sample_file", type=str, default=None,
+                   help="SampleStore .npz (waveforms or features)")
+    p.add_argument("--calib_file", type=str, default=None)
+    p.add_argument("--manifest", type=str, default=None,
+                   help="manifest JSON for WER scoring")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic utterances instead of sample_file")
+    # scenario
+    p.add_argument("--scenario", type=str, default="Offline",
+                   choices=["Offline", "Server", "SingleStream"])
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--split_len", type=int, default=-1)
+    p.add_argument("--server_slots", type=int, default=128)
+    p.add_argument("--response_size", type=int, default=9)
+    p.add_argument("--mlperf_conf", type=str, default=None)
+    p.add_argument("--user_conf", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default="output")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_model_weights(args, params):
+    """Resolve (weights, kind) from CLI flags."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnnt_inference_tpu.models import checkpoint as ckpt
+    from rnnt_inference_tpu.models.weights import init_weights, load_torch_checkpoint
+
+    if args.quant_in:
+        return ckpt.load_quant_weights(args.quant_in, params), "quant"
+    if args.model is None:
+        w = init_weights(jax.random.PRNGKey(args.seed), params)
+    elif args.model.endswith(".npz"):
+        w = ckpt.load_weights(args.model, params)
+    else:
+        w = load_torch_checkpoint(args.model, params)
+    if args.run_mode == "bf16":
+        w = w.astype(jnp.bfloat16)
+    return w, args.run_mode
+
+
+def load_store(args, path):
+    from rnnt_inference_tpu.data.dataset import SampleStore
+
+    if args.synthetic:
+        return SampleStore.synthetic(n=args.synthetic, seed=args.seed)
+    if path is None:
+        raise SystemExit("need --sample_file/--calib_file or --synthetic N")
+    return SampleStore.load(path)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+
+    params = RNNTParams()
+    cfg = FeaturizerConfig()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    weights, kind = load_model_weights(args, params)
+
+    # -- stage: calibration (reference main.py:22-36) ------------------------
+    if args.calibration:
+        from rnnt_inference_tpu.models import checkpoint as ckpt
+        from rnnt_inference_tpu.models.quant import calibrate
+        from rnnt_inference_tpu.ops.features import log_mel_features
+        from rnnt_inference_tpu.runtime.qsl import QuerySampleLibrary
+
+        store = load_store(args, args.calib_file)
+        qsl = QuerySampleLibrary(store, cfg)
+        feat_fn = jax.jit(lambda a, b: log_mel_features(a, b, cfg))
+        batches = []
+        order = qsl.sort_desc(np.arange(len(store)))
+        B = min(args.batch_size, 32)
+        for s in range(0, len(order), B):
+            wav, lens, _ = qsl.assemble_waveforms(order[s : s + B], pad_n=B)
+            batches.append(feat_fn(jnp.asarray(wav), jnp.asarray(lens)))
+        calib = calibrate(weights.astype(jnp.float32), batches, params)
+        ckpt.save_calib(args.calib_out, calib)
+        print(f"calibration saved to {args.calib_out}: "
+              f"pre_amax={np.asarray(calib.pre_amax)} "
+              f"post_amax={np.asarray(calib.post_amax)}")
+
+    # -- stage: quantize + save (reference main.py:38-58 / save_model.sh) ----
+    if args.save_quant:
+        from rnnt_inference_tpu.models import checkpoint as ckpt
+        from rnnt_inference_tpu.models.quant import quantize_weights
+
+        calib = ckpt.load_calib(args.calib_in or args.calib_out)
+        qw = quantize_weights(weights.astype(jnp.float32), calib, params)
+        ckpt.save_quant_weights(args.quant_out, qw)
+        print(f"quantized model saved to {args.quant_out}")
+
+    # -- stage: benchmark / accuracy (reference main.py:60-85) ---------------
+    if args.benchmark or args.accuracy:
+        store = load_store(args, args.sample_file)
+        if args.manifest:
+            from rnnt_inference_tpu.data.manifest import Manifest
+
+            store.transcripts = Manifest([args.manifest], max_duration=15.0).transcripts
+
+        if args.scenario == "Offline":
+            from rnnt_inference_tpu.runtime.harness import run_offline
+
+            report = run_offline(
+                weights, store, params, cfg,
+                batch_size=args.batch_size,
+                split_len=args.split_len,
+                accuracy=args.accuracy,
+                output_dir=args.output_dir,
+                device_resident=not args.accuracy,
+            )
+            print(json.dumps(report.summary(), indent=2))
+        elif args.scenario == "Server":
+            from rnnt_inference_tpu.runtime.config import TestSettings
+            from rnnt_inference_tpu.runtime.harness import tokens_to_hex
+            from rnnt_inference_tpu.runtime.scheduler import run_server
+            from rnnt_inference_tpu.runtime.server import ServerRunner
+
+            settings = TestSettings.from_conf(
+                args.mlperf_conf, args.user_conf, "rnnt", "Server"
+            )
+            runner = ServerRunner(
+                weights, params, cfg,
+                slots=args.server_slots,
+                split_len=max(args.split_len, 2) if args.split_len > 0 else 24,
+            )
+            metrics, results = run_server(
+                runner, store, target_qps=settings.target_qps,
+                realtime=not args.accuracy,
+            )
+            summary = metrics.summary()
+            print(json.dumps(summary, indent=2))
+            os.makedirs(args.output_dir, exist_ok=True)
+            with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
+                json.dump(summary, f, indent=2)
+            if args.accuracy:
+                acc = [
+                    {"qsl_idx": i, "data": tokens_to_hex(results[i])}
+                    for i in sorted(results)
+                ]
+                with open(os.path.join(args.output_dir, "accuracy_log.json"), "w") as f:
+                    json.dump(acc, f)
+        else:
+            raise SystemExit(f"scenario {args.scenario} not implemented yet")
+
+
+if __name__ == "__main__":
+    main()

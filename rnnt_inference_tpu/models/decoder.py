@@ -57,7 +57,8 @@ def init_decode_state(
     L = params.pred_num_layers
     return DecodeState(
         enc=model.init_encoder_state(batch, params, enc_dtype),
-        res=jnp.full((batch, params.max_res_len), -1, jnp.int32),
+        # int8: tokens are 0..28, -1 pad — 4x smaller result transfers
+        res=jnp.full((batch, params.max_res_len), -1, jnp.int8),
         res_idx=jnp.full((batch,), -1, jnp.int32),
         pre_g=jnp.full((batch,), params.SOS, jnp.int32),
         hg=jnp.zeros((L, batch, P), pred_dtype),
@@ -104,7 +105,7 @@ def greedy_decode_chunk(
         # 4.1-4.3: emit
         res_idx = res_idx + update_g.astype(jnp.int32)
         write_idx = jnp.where(update_g, res_idx, params.max_res_len)  # OOB -> drop
-        res = res.at[batch_arange, write_idx].set(symbols, mode="drop")
+        res = res.at[batch_arange, write_idx].set(symbols.astype(res.dtype), mode="drop")
         symbols_added = symbols_added + update_g.astype(jnp.int32)
         pre_g = jnp.where(update_g, symbols, pre_g)
         sel = update_g[None, :, None]

@@ -74,6 +74,32 @@ def lstm_layer(
     return ys, h, c
 
 
+# Which recurrence implementation lstm_stack uses: "xla" (lax.scan) or
+# "pallas" (VMEM-resident W_hh kernel, ops/lstm_pallas.py).  Read at trace
+# time — set before building jitted functions (env: RNNT_LSTM_IMPL).
+import os as _os
+
+_LSTM_IMPL = _os.environ.get("RNNT_LSTM_IMPL", "xla")
+
+
+def set_lstm_impl(impl: str) -> None:
+    global _LSTM_IMPL
+    assert impl in ("xla", "pallas")
+    _LSTM_IMPL = impl
+
+
+def _pallas_eligible(layer: LSTMLayerWeights, x: jax.Array) -> bool:
+    T, N, _ = x.shape
+    H = layer.hidden_size
+    return (
+        _LSTM_IMPL == "pallas"
+        and layer.w_ih.dtype != jnp.int8
+        and N % 8 == 0
+        and H % 128 == 0
+        and T >= 2
+    )
+
+
 def lstm_stack(
     layers: Sequence[LSTMLayerWeights],
     x: jax.Array,
@@ -89,7 +115,14 @@ def lstm_stack(
     new_c = []
     y = x
     for l, layer in enumerate(layers):
-        y, h, c = lstm_layer(layer, y, hs[l], cs[l])
+        if _pallas_eligible(layer, y):
+            from rnnt_inference_tpu.ops.lstm_pallas import lstm_layer_pallas
+
+            y, h, c = lstm_layer_pallas(
+                layer, y, hs[l], cs[l], interpret=jax.default_backend() == "cpu"
+            )
+        else:
+            y, h, c = lstm_layer(layer, y, hs[l], cs[l])
         new_h.append(h)
         new_c.append(c)
     return y, jnp.stack(new_h), jnp.stack(new_c)

@@ -1,0 +1,119 @@
+"""Pallas TPU kernel for the LSTM recurrence.
+
+The XLA scan re-reads W_hh (8 MB bf16 at H=1024) from HBM every timestep —
+~4 GB of HBM traffic per layer for a 500-frame chunk.  This kernel keeps
+W_hh resident in VMEM for the whole sequence and streams the precomputed
+input projections xw_t through the automatic Pallas pipeline (double-
+buffered HBM->VMEM DMA), so per-step HBM traffic drops to the xw block
+read + y block write (~1 MB at N=128).
+
+Replaces the recurrent half of the reference's fused AMX kernels
+(mlperf_plugins lstm_amx_int8 / lstm_amx_bf16, SURVEY §2.3) with the
+TPU-idiomatic split:
+  - input projection x@W_ih + b : ONE large MXU matmul over (T*N, IC) (XLA)
+  - recurrence h@W_hh + gates   : this kernel, grid=(T,), state in VMEM
+
+VMEM budget at H=1024, N=128 bf16: W_hh 8 MB + 2x xw blocks 2 MB
++ 2x y blocks 0.5 MB + h/c scratch 0.75 MB ≈ 11.5 MB < 16 MB.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rnnt_inference_tpu.models.weights import LSTMLayerWeights
+
+
+def _lstm_scan_kernel(xw_ref, whh_ref, h0_ref, c0_ref,
+                      ys_ref, hT_ref, cT_ref,
+                      h_s, c_s):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    gates = xw_ref[0].astype(jnp.float32) + jnp.dot(
+        h_s[:], whh_ref[:], preferred_element_type=jnp.float32
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c_s[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+
+    h_b = h_new.astype(h_s.dtype)
+    h_s[:] = h_b
+    c_s[:] = c_new
+    ys_ref[0] = h_new.astype(ys_ref.dtype)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        hT_ref[:] = h_s[:]
+        cT_ref[:] = c_s[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lstm_recurrence(
+    xw: jax.Array,  # (T, N, 4H) compute dtype, already includes bias
+    w_hh: jax.Array,  # (H, 4H)
+    h0: jax.Array,  # (N, H) compute dtype
+    c0: jax.Array,  # (N, H) f32
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    T, N, H4 = xw.shape
+    H = w_hh.shape[0]
+    dtype = w_hh.dtype
+    grid = (T,)
+    kernel = pl.pallas_call(
+        _lstm_scan_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N, H4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N, H), dtype),
+            jax.ShapeDtypeStruct((N, H), dtype),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, H), dtype),
+            pltpu.VMEM((N, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    ys, hT, cT = kernel(xw, w_hh, h0, c0)
+    return ys, hT, cT
+
+
+def lstm_layer_pallas(
+    layer: LSTMLayerWeights,
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Drop-in replacement for ops.lstm.lstm_layer using the Pallas kernel."""
+    dtype = layer.w_ih.dtype
+    x = x.astype(dtype)
+    xw = (
+        jnp.dot(x, layer.w_ih, preferred_element_type=jnp.float32)
+        + layer.b.astype(jnp.float32)
+    ).astype(dtype)
+    ys, hT, cT = _lstm_recurrence(
+        xw, layer.w_hh, h0.astype(dtype), c0.astype(jnp.float32), interpret=interpret
+    )
+    return ys, hT, cT
