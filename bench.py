@@ -28,6 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+from rnnt_inference_tpu.ops.lstm import set_lstm_impl
 from rnnt_inference_tpu.data.dataset import SampleStore
 from rnnt_inference_tpu.models.weights import init_weights
 from rnnt_inference_tpu.runtime.harness import run_offline
@@ -42,12 +43,13 @@ def log(msg):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "256"))
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    n = int(os.environ.get("BENCH_N", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     buckets = tuple(
         float(s) for s in os.environ.get("BENCH_SECONDS", "4,8,15").split(",")
     )
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    set_lstm_impl(os.environ.get("RNNT_LSTM_IMPL", "pallas"))
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     params = RNNTParams()

@@ -232,3 +232,28 @@ def calibrate(
     for x, x_lens in batches:
         calib = step(weights, jnp.asarray(x), jnp.asarray(x_lens), calib)
     return calib
+
+
+def fake_quantize_weights(
+    weights: RNNTWeights,
+    calib: CalibState,
+    params: RNNTParams = RNNTParams(),
+) -> RNNTWeights:
+    """fake_quant run mode (reference: arguments.py run_mode, 
+    quant_modules.py:124-135): quantize-dequantize the encoder weights in
+    f32 so the f32 execution path simulates int8 weight rounding.  Used for
+    accuracy triage of quantization error without the int8 kernels."""
+
+    def fq_layer(layer: LSTMLayerWeights) -> LSTMLayerWeights:
+        w_cat = jnp.concatenate([layer.w_ih, layer.w_hh], axis=0)
+        scale = MAX_BOUND / jnp.max(jnp.abs(w_cat))
+        fq = lambda w: jnp.clip(jnp.round(w * scale), MIN_BOUND, MAX_BOUND) / scale
+        return LSTMLayerWeights(w_ih=fq(layer.w_ih), w_hh=fq(layer.w_hh), b=layer.b)
+
+    return RNNTWeights(
+        pre_rnn=[fq_layer(l) for l in weights.pre_rnn],
+        post_rnn=[fq_layer(l) for l in weights.post_rnn],
+        embed=weights.embed,
+        pred_rnn=weights.pred_rnn,
+        joint=weights.joint,
+    )

@@ -150,3 +150,61 @@ def eval_accuracy_log(log_path: str, references: List[str]) -> float:
         hyps[r["qsl_idx"]] = seq_to_sen(seq, len(seq))
     wer, _, _ = word_error_rate([h or "" for h in hyps], references)
     return wer
+
+
+def run_single_stream(
+    weights: RNNTWeights,
+    store: SampleStore,
+    params: RNNTParams = RNNTParams(),
+    cfg: FeaturizerConfig = FeaturizerConfig(),
+    split_len: int = -1,
+    max_samples: Optional[int] = None,
+    warmup: bool = True,
+) -> RunReport:
+    """SingleStream scenario: one sample at a time, next issued only after
+    the previous completes; 90th-percentile latency is the metric
+    (reference: configs/mlperf.conf *.SingleStream.target_latency_percentile=90).
+    """
+    qsl = QuerySampleLibrary(store, cfg)
+    runner = OfflineRunner(weights, params, cfg, batch_size=1, split_len=split_len)
+    if warmup:
+        runner.warmup(qsl, waveform_mode=(store.kind == "waveform"))
+
+    n = min(max_samples or len(store), len(store))
+    latencies = []
+    hyps = []
+    import jax.numpy as jnp
+
+    t_all = time.time()
+    for i in range(n):
+        t0 = time.time()
+        wav, lens, _ = qsl.assemble_waveforms([i])
+        res, res_lens = runner._pipeline(
+            runner.weights, jnp.asarray(wav), jnp.asarray(lens)
+        )
+        res = np.asarray(res)
+        res_lens = np.asarray(res_lens)
+        latencies.append((time.time() - t0) * 1e3)
+        hyps.append(seq_to_sen(res[0, : res_lens[0]].astype(np.int32), int(res_lens[0])))
+    wall = time.time() - t_all
+
+    lat = np.array(latencies)
+    report = RunReport(
+        scenario="SingleStream",
+        samples=n,
+        wall_seconds=wall,
+        samples_per_second=n / wall,
+        audio_seconds_per_second=sum(
+            s.shape[0] for s in store.samples[:n]
+        ) / 16000.0 / wall if store.kind == "waveform" else 0.0,
+        hypotheses=hyps,
+        extra=dict(
+            latency_ms_p50=round(float(np.percentile(lat, 50)), 2),
+            latency_ms_p90=round(float(np.percentile(lat, 90)), 2),
+            latency_ms_p99=round(float(np.percentile(lat, 99)), 2),
+        ),
+    )
+    if any(store.transcripts):
+        wer, _, _ = word_error_rate(hyps, store.transcripts[:n])
+        report.wer = wer
+    return report

@@ -1,0 +1,132 @@
+"""ctypes bindings for the native mini-loadgen (csrc/rnnt_loadgen.cpp).
+
+Builds the shared library on first use (g++ -O2 -shared); falls back
+gracefully if a compiler is unavailable.  No pybind11 — plain C ABI.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "csrc", "rnnt_loadgen.cpp")
+_SO = os.path.join(_REPO_ROOT, "csrc", "librnnt_loadgen.so")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def _build() -> str:
+    os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC, "-o", _SO],
+        check=True,
+        capture_output=True,
+    )
+    return _SO
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+                _SRC
+            ):
+                _build()
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            return None
+        lib.lg_create.restype = ctypes.c_void_p
+        lib.lg_create.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_uint64,
+        ]
+        lib.lg_destroy.argtypes = [ctypes.c_void_p]
+        lib.lg_poll.restype = ctypes.c_int
+        lib.lg_poll.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+            ctypes.c_int64,
+        ]
+        lib.lg_complete.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.lg_completed.restype = ctypes.c_int64
+        lib.lg_completed.argtypes = [ctypes.c_void_p]
+        lib.lg_pending.restype = ctypes.c_int64
+        lib.lg_pending.argtypes = [ctypes.c_void_p]
+        lib.lg_report.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+        _lib = lib
+        return _lib
+
+
+class NativeLoadGen:
+    """Poisson issue thread + native latency recorder.
+
+    mode: "Server" (Poisson at target_qps) or "Offline" (all at t=0).
+    """
+
+    MODES = {"Server": 0, "Offline": 1}
+
+    def __init__(
+        self, n_samples: int, target_qps: float, mode: str = "Server", seed: int = 0
+    ):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native loadgen unavailable (no g++?)")
+        self._lib = lib
+        self._h = lib.lg_create(n_samples, target_qps, self.MODES[mode], seed)
+        self.n = n_samples
+
+    def poll(self, max_n: int = 64, timeout_us: int = 1000) -> List[int]:
+        buf = (ctypes.c_int64 * max_n)()
+        k = self._lib.lg_poll(self._h, buf, max_n, timeout_us)
+        return [int(buf[i]) for i in range(k)]
+
+    def complete(self, sample_id: int) -> None:
+        self._lib.lg_complete(self._h, sample_id)
+
+    @property
+    def completed(self) -> int:
+        return int(self._lib.lg_completed(self._h))
+
+    @property
+    def pending(self) -> int:
+        return int(self._lib.lg_pending(self._h))
+
+    def report(self) -> dict:
+        out = (ctypes.c_double * 8)()
+        self._lib.lg_report(self._h, out)
+        return dict(
+            completed=int(out[0]),
+            latency_ms_mean=round(out[1], 2),
+            latency_ms_p50=round(out[2], 2),
+            latency_ms_p90=round(out[3], 2),
+            latency_ms_p99=round(out[4], 2),
+            latency_ms_max=round(out[5], 2),
+            wall_seconds=round(out[6], 3),
+            qps=round(out[7], 2),
+        )
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.lg_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -137,3 +137,57 @@ def run_server(
 
     metrics.wall_seconds = time.time() - t_start
     return metrics, results
+
+
+def run_server_native(
+    runner: ServerRunner,
+    store: SampleStore,
+    target_qps: float,
+    seed: int = 0,
+    qos_len: int = 233500,
+    max_wall_s: float = 600.0,
+) -> Tuple[dict, Dict[int, np.ndarray]]:
+    """Server run driven by the native mini-loadgen (csrc/rnnt_loadgen.cpp):
+    a C++ thread issues Poisson arrivals on a steady clock and completions
+    are timestamped natively, so latency numbers are free of Python jitter.
+
+    Returns (native latency report dict, {sample_idx: tokens}).
+    """
+    import time as _time
+
+    from rnnt_inference_tpu.runtime.native import NativeLoadGen
+
+    n = len(store)
+    lg = NativeLoadGen(n, target_qps, mode="Server", seed=seed)
+    results: Dict[int, np.ndarray] = {}
+    deferred: List[int] = []
+    t_start = _time.time()
+
+    try:
+        while lg.completed < n and (_time.time() - t_start) < max_wall_s:
+            # 1. admit arrivals into free slots
+            room = min(runner.insert_batch, len(runner.free_slots))
+            batch: List[int] = []
+            if room:
+                for idx in lg.poll(max_n=room, timeout_us=500):
+                    if store.samples[idx].shape[0] > qos_len:
+                        deferred.append(idx)
+                    else:
+                        batch.append(idx)
+            if lg.pending == 0 and not batch and deferred and runner.n_active == 0:
+                while deferred and len(batch) < room:
+                    batch.append(deferred.pop(0))
+            if batch:
+                runner.insert_samples([store.samples[i] for i in batch], batch)
+
+            # 2. streaming step + early response
+            if runner.n_active:
+                finished = runner.step()
+                if len(finished):
+                    for sample_id, tokens in runner.extract(finished):
+                        results[sample_id] = tokens
+                        lg.complete(sample_id)
+        report = lg.report()
+    finally:
+        lg.close()
+    return report, results
