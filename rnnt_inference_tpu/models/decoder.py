@@ -181,4 +181,6 @@ def greedy_decode(
                 jnp.int32(split_len), jnp.maximum(x_lens - split_idx, 0)
             )
             state = decode_chunk(weights, state, xi, xi_lens, params)
-    return state.res, state.res_idx + 1
+    # res_idx counts every emission, including ones dropped past the static
+    # buffer capacity — clamp the reported length to what res actually holds
+    return state.res, jnp.minimum(state.res_idx + 1, params.max_res_len)

@@ -235,7 +235,10 @@ class ServerRunner:
     def extract(self, finished_slots) -> List[Tuple[int, np.ndarray]]:
         """Pull token results for finished slots and free them."""
         res = np.asarray(self.state.decode.res[np.asarray(finished_slots)])
-        res_lens = np.asarray(self.state.decode.res_idx[np.asarray(finished_slots)]) + 1
+        res_lens = np.minimum(
+            np.asarray(self.state.decode.res_idx[np.asarray(finished_slots)]) + 1,
+            self.params.max_res_len,
+        )
         out = []
         for k, slot in enumerate(finished_slots):
             sample_id = self.slot_sample.pop(int(slot))

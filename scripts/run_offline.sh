@@ -1,0 +1,24 @@
+#!/bin/bash
+# Offline scenario end-to-end (reference: run.sh stage 5 Offline, run.sh:66-71).
+# Env-parameterized like the reference's launch_sut.sh.
+set -e
+cd "$(dirname "$0")/.."
+
+MODEL=${MODEL:-}                 # rnnt.pt / weights .npz; empty = random
+QUANT=${QUANT:-}                 # quantized .npz (overrides MODEL)
+SAMPLE_FILE=${SAMPLE_FILE:-}     # SampleStore .npz; empty = synthetic
+SYNTHETIC=${SYNTHETIC:-1024}
+BATCH_SIZE=${BATCH_SIZE:-256}
+SPLIT_LEN=${SPLIT_LEN:--1}
+ACCURACY=${ACCURACY:-false}
+OUTPUT_DIR=${OUTPUT_DIR:-output/offline}
+
+ARGS=(--scenario Offline --benchmark --batch_size "$BATCH_SIZE" \
+      --split_len "$SPLIT_LEN" --output_dir "$OUTPUT_DIR")
+[ -n "$MODEL" ] && ARGS+=(--model "$MODEL")
+[ -n "$QUANT" ] && ARGS+=(--quant_in "$QUANT")
+if [ -n "$SAMPLE_FILE" ]; then ARGS+=(--sample_file "$SAMPLE_FILE"); else ARGS+=(--synthetic "$SYNTHETIC"); fi
+[ "$ACCURACY" = "true" ] && ARGS+=(--accuracy)
+[ -n "$MANIFEST" ] && ARGS+=(--manifest "$MANIFEST")
+
+exec python -m rnnt_inference_tpu.main "${ARGS[@]}"

@@ -1,0 +1,21 @@
+#!/bin/bash
+# Server scenario (reference: run.sh stage 5 Server, run.sh:72-77).
+set -e
+cd "$(dirname "$0")/.."
+
+QUANT=${QUANT:-}
+MODEL=${MODEL:-}
+SAMPLE_FILE=${SAMPLE_FILE:-}
+SYNTHETIC=${SYNTHETIC:-512}
+SLOTS=${SLOTS:-128}
+SPLIT_LEN=${SPLIT_LEN:-24}
+OUTPUT_DIR=${OUTPUT_DIR:-output/server}
+
+ARGS=(--scenario Server --benchmark --server_slots "$SLOTS" \
+      --split_len "$SPLIT_LEN" --output_dir "$OUTPUT_DIR" \
+      --mlperf_conf configs/mlperf.conf --user_conf configs/user.conf)
+[ -n "$MODEL" ] && ARGS+=(--model "$MODEL")
+[ -n "$QUANT" ] && ARGS+=(--quant_in "$QUANT")
+if [ -n "$SAMPLE_FILE" ]; then ARGS+=(--sample_file "$SAMPLE_FILE"); else ARGS+=(--synthetic "$SYNTHETIC"); fi
+
+exec python -m rnnt_inference_tpu.main "${ARGS[@]}"
