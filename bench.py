@@ -71,6 +71,7 @@ def main():
         warmup=True,  # untimed: stage to HBM + compile bucket shapes
         device_resident=True,
         wav_buckets_s=buckets,
+        min_duration_s=float(os.environ.get("BENCH_MIN_S", "3")),
     )
     log(f"total incl. staging+compile (untimed portion): {time.time()-t0:.1f}s")
     log(f"run: {report.wall_seconds:.2f}s wall, "

@@ -83,18 +83,41 @@ def greedy_decode_chunk(
     batch_arange = jnp.arange(N, dtype=jnp.int32)
     max_iters = T2 * (params.max_symbols_per_step + 1) + 1
 
+    # Hoist the joint's transcription projection out of the symbol loop:
+    # ONE (T2*N, 1024)@(1024, 512) MXU matmul here replaces a per-iteration
+    # (N, 1024)@(1024, 512) matmul + wide gather inside the loop.  (The
+    # reference cannot do this — its AMX joint fuses both projections,
+    # modeling_rnnt.py:268-283; on TPU the precompute is ~0.2 ms while the
+    # in-loop version costs it ~350 times.)
+    jw = weights.joint
+    fproj = jnp.dot(
+        f.astype(jw.w1_trans.dtype), jw.w1_trans, preferred_element_type=jnp.float32
+    )  # (T2, N, J) f32
+
     def cond(carry):
         (_, _, _, _, _, _, _, finish, it) = carry
         return jnp.logical_and(~jnp.all(finish), it < max_iters)
 
     def body(carry):
         (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it) = carry
-        # current encoder frame per lane
-        fi = jnp.take_along_axis(f, time_idx[None, :, None], axis=0)[0]
+        # current frame's precomputed joint projection per lane
+        fi_proj = jnp.take_along_axis(fproj, time_idx[None, :, None], axis=0)[0]
         # prediction is always computed from the *committed* state; it is only
         # committed for lanes that emit (reference: models/decoder.py:127,147-151)
         g, hg_new, cg_new = model.prediction_step(weights, pre_g, hg, cg, params)
-        y = model.joint(weights, fi, g)
+        y = (
+            fi_proj
+            + jnp.dot(
+                g.astype(jw.w1_pred.dtype), jw.w1_pred,
+                preferred_element_type=jnp.float32,
+            )
+            + jw.b1.astype(jnp.float32)
+        )
+        y = jnp.maximum(y, 0.0).astype(jw.w2.dtype)
+        y = (
+            jnp.dot(y, jw.w2, preferred_element_type=jnp.float32)
+            + jw.b2.astype(jnp.float32)
+        )
         symbols = jnp.argmax(y, axis=-1).astype(jnp.int32)
 
         update_g = (

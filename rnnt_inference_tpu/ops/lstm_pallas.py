@@ -117,3 +117,144 @@ def lstm_layer_pallas(
         xw, layer.w_hh, h0.astype(dtype), c0.astype(jnp.float32), interpret=interpret
     )
     return ys, hT, cT
+
+
+# ---------------------------------------------------------------------------
+# Interleaved two-half variant: MXU/VPU overlap
+# ---------------------------------------------------------------------------
+#
+# The recurrence is VPU-bound (5 transcendentals on (N, 4H) per step) while
+# the MXU sits idle ~70% of the time.  Splitting the batch into halves A/B
+# with B's pipeline lagging one step was meant to let Mosaic overlap the
+# independent chains per grid step.  MEASURED RESULT (v5e): 13.25 ms vs
+# 10.66 ms for the plain kernel at (T=500, N=128, H=1024) — Mosaic does NOT
+# overlap separate pl.when regions, and the mm_b scratch round-trip adds
+# cost.  Kept as a correct, documented negative result; the plain kernel
+# remains the default.
+
+
+def _lstm_interleaved_kernel(T):
+    def kernel(xwa_ref, xwb_ref, whh_ref, h0_ref, c0_ref,
+               ysa_ref, ysb_ref, hT_ref, cT_ref,
+               ha_s, ca_s, hb_s, cb_s, mmb_s):
+        t = pl.program_id(0)
+        Nh = ha_s.shape[0]
+
+        @pl.when(t == 0)
+        def _():
+            ha_s[:] = h0_ref[0, :Nh]
+            ca_s[:] = c0_ref[0, :Nh]
+            hb_s[:] = h0_ref[0, Nh:]
+            cb_s[:] = c0_ref[0, Nh:]
+
+        def gates(raw, c):
+            i, f, g, o = jnp.split(raw, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return h_new, c_new
+
+        # B's VPU work for step t-1 (mm_b computed last grid step)
+        @pl.when(t > 0)
+        def _():
+            h_new, c_new = gates(mmb_s[:], cb_s[:])
+            hb_s[:] = h_new.astype(hb_s.dtype)
+            cb_s[:] = c_new
+            ysb_ref[0] = h_new.astype(ysb_ref.dtype)
+
+        # A: full step t (MXU then VPU)
+        @pl.when(t < T)
+        def _():
+            mma = xwa_ref[0].astype(jnp.float32) + jnp.dot(
+                ha_s[:], whh_ref[:], preferred_element_type=jnp.float32
+            )
+            h_new, c_new = gates(mma, ca_s[:])
+            ha_s[:] = h_new.astype(ha_s.dtype)
+            ca_s[:] = c_new
+            ysa_ref[0] = h_new.astype(ysa_ref.dtype)
+
+        # B's MXU work for step t (consumed next grid step)
+        @pl.when(t < T)
+        def _():
+            mmb_s[:] = xwb_ref[0].astype(jnp.float32) + jnp.dot(
+                hb_s[:], whh_ref[:], preferred_element_type=jnp.float32
+            )
+
+        @pl.when(t == T)
+        def _():
+            hT_ref[0, :Nh] = ha_s[:]
+            hT_ref[0, Nh:] = hb_s[:]
+            cT_ref[0, :Nh] = ca_s[:]
+            cT_ref[0, Nh:] = cb_s[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _lstm_recurrence_interleaved(
+    xw: jax.Array,  # (T, N, 4H), bias included
+    w_hh: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    T, N, H4 = xw.shape
+    H = w_hh.shape[0]
+    Nh = N // 2
+    dtype = w_hh.dtype
+    xwa, xwb = xw[:, :Nh], xw[:, Nh:]
+
+    last = lambda t: (jnp.minimum(t, T - 1), 0, 0)
+    lag = lambda t: (jnp.maximum(t - 1, 0), 0, 0)
+    ysa, ysb, hT, cT = pl.pallas_call(
+        _lstm_interleaved_kernel(T),
+        grid=(T + 1,),
+        in_specs=[
+            pl.BlockSpec((1, Nh, H4), last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nh, H4), last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Nh, H), last, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nh, H), lag, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, H), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Nh, H), dtype),
+            jax.ShapeDtypeStruct((T, Nh, H), dtype),
+            jax.ShapeDtypeStruct((1, N, H), dtype),
+            jax.ShapeDtypeStruct((1, N, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Nh, H), dtype),
+            pltpu.VMEM((Nh, H), jnp.float32),
+            pltpu.VMEM((Nh, H), dtype),
+            pltpu.VMEM((Nh, H), jnp.float32),
+            pltpu.VMEM((Nh, H4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xwa, xwb, w_hh, h0[None], c0[None])
+    ys = jnp.concatenate([ysa, ysb], axis=1)
+    return ys, hT[0], cT[0]
+
+
+def lstm_layer_pallas_interleaved(
+    layer: LSTMLayerWeights,
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """lstm_layer with the MXU/VPU-overlapped kernel (even N required)."""
+    dtype = layer.w_ih.dtype
+    x = x.astype(dtype)
+    xw = (
+        jnp.dot(x, layer.w_ih, preferred_element_type=jnp.float32)
+        + layer.b.astype(jnp.float32)
+    ).astype(dtype)
+    ys, hT, cT = _lstm_recurrence_interleaved(
+        xw, layer.w_hh, h0.astype(dtype), c0.astype(jnp.float32), interpret=interpret
+    )
+    return ys, hT, cT

@@ -58,3 +58,19 @@ def test_stack_impl_switch():
     finally:
         lstm_mod.set_lstm_impl("xla")
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_interleaved_matches_scan():
+    from rnnt_inference_tpu.ops.lstm_pallas import lstm_layer_pallas_interleaved
+
+    T, N, IC, H = 7, 8, 128, 128
+    layer = _init_lstm_layer(jax.random.PRNGKey(8), IC, H, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(9), (T, N, IC))
+    h0 = jax.random.normal(jax.random.PRNGKey(10), (N, H))
+    c0 = jax.random.normal(jax.random.PRNGKey(11), (N, H))
+
+    y_ref, h_ref, c_ref = jax.jit(lstm_layer)(layer, x, h0, c0)
+    y_il, h_il, c_il = lstm_layer_pallas_interleaved(layer, x, h0, c0, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_il), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_il), np.asarray(h_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_il), np.asarray(c_ref), rtol=2e-5, atol=2e-5)
