@@ -30,10 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 from rnnt_inference_tpu.models.weights import LSTMLayerWeights
 
 
-def _lstm_scan_kernel(xw_ref, whh_ref, h0_ref, c0_ref,
-                      ys_ref, hT_ref, cT_ref,
-                      h_s, c_s):
-    t = pl.program_id(0)
+def _lstm_scan_kernel(taxis):
+  # grid = (batch_tiles, T) (or (T,) when one tile): T sweeps fastest, so
+  # W_hh stays VMEM-resident for a whole tile's sequence; scratch re-inits
+  # at each tile's t=0.  taxis = index of the time axis in the grid.
+  def kernel(xw_ref, whh_ref, h0_ref, c0_ref,
+             ys_ref, hT_ref, cT_ref,
+             h_s, c_s):
+    t = pl.program_id(taxis)
 
     @pl.when(t == 0)
     def _():
@@ -52,10 +56,12 @@ def _lstm_scan_kernel(xw_ref, whh_ref, h0_ref, c0_ref,
     c_s[:] = c_new
     ys_ref[0] = h_new.astype(ys_ref.dtype)
 
-    @pl.when(t == pl.num_programs(0) - 1)
+    @pl.when(t == pl.num_programs(taxis) - 1)
     def _():
         hT_ref[:] = h_s[:]
         cT_ref[:] = c_s[:]
+
+  return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -69,20 +75,42 @@ def _lstm_recurrence(
     T, N, H4 = xw.shape
     H = w_hh.shape[0]
     dtype = w_hh.dtype
-    grid = (T,)
+    # tile the batch so VMEM holds W_hh + one tile's buffers at any N;
+    # N=256 untiled still fits (~14.5 MB) and keeps the per-step matmul fat
+    BN = N if N <= 256 else 128
+    assert N % BN == 0, f"batch {N} is not a multiple of the {BN} kernel tile"
+    nb = N // BN
+    if nb == 1:
+        grid = (T,)
+        xw_map, const_map, tile_map, ys_map = (
+            lambda t: (t, 0, 0),
+            lambda t: (0, 0),
+            lambda t: (0, 0),
+            lambda t: (t, 0, 0),
+        )
+        taxis = 0
+    else:
+        grid = (nb, T)
+        xw_map, const_map, tile_map, ys_map = (
+            lambda b, t: (t, b, 0),
+            lambda b, t: (0, 0),
+            lambda b, t: (b, 0),
+            lambda b, t: (t, b, 0),
+        )
+        taxis = 1
     kernel = pl.pallas_call(
-        _lstm_scan_kernel,
+        _lstm_scan_kernel(taxis),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, N, H4), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, H4), xw_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), const_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, N, H), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, H), ys_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, N, H), dtype),
@@ -90,8 +118,8 @@ def _lstm_recurrence(
             jax.ShapeDtypeStruct((N, H), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, H), dtype),
-            pltpu.VMEM((N, H), jnp.float32),
+            pltpu.VMEM((BN, H), dtype),
+            pltpu.VMEM((BN, H), jnp.float32),
         ],
         interpret=interpret,
     )

@@ -74,3 +74,17 @@ def test_interleaved_matches_scan():
     np.testing.assert_allclose(np.asarray(y_il), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(h_il), np.asarray(h_ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(c_il), np.asarray(c_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_batch_tiled():
+    """N > 128 path: grid tiles the batch; results must match the scan."""
+    T, N, H = 5, 384, 128
+    layer = _init_lstm_layer(jax.random.PRNGKey(12), H, H, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(13), (T, N, H))
+    h0 = jax.random.normal(jax.random.PRNGKey(14), (N, H))
+    c0 = jax.random.normal(jax.random.PRNGKey(15), (N, H))
+    y_ref, h_ref, c_ref = jax.jit(lstm_layer)(layer, x, h0, c0)
+    y_pl, h_pl, c_pl = lstm_layer_pallas(layer, x, h0, c0, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref), rtol=2e-5, atol=2e-5)
