@@ -184,6 +184,12 @@ class ServerRunner:
         self.max_frames = -(-self.max_frames // split_len) * split_len
         self.insert_batch = insert_batch
 
+        from rnnt_inference_tpu.runtime.qsl import DEFAULT_WAV_BUCKETS_S
+
+        self.wav_buckets = tuple(
+            int(s * cfg.sample_rate) for s in sorted(DEFAULT_WAV_BUCKETS_S)
+        )
+
         enc_dtype = weights.pre_rnn[0].w_ih.dtype
         pred_dtype = weights.pred_rnn[0].w_ih.dtype
         self.state = init_server_state(
@@ -204,18 +210,47 @@ class ServerRunner:
             lambda w, st: server_step(w, st, split_len, params)
         )
 
+    def _wav_bucket(self, s: int) -> int:
+        for b in self.wav_buckets:
+            if b >= s:
+                return b
+        return self.wav_buckets[-1]
+
+    def warmup(self) -> float:
+        """Pre-compile one insert shape per wav bucket plus the step fn
+        (the reference's dummy-sample warmup analog, csrc/rnnt_qsl.cpp:136-147)."""
+        import time
+
+        t0 = time.time()
+        for b in self.wav_buckets:
+            self.insert_samples([np.zeros(b, np.float32)], [-1])
+            for _ in range(self.max_frames // self.split_len + 2):
+                if not self.n_active:
+                    break
+                finished = self.step()
+                if len(finished):
+                    self.extract(finished)
+        return time.time() - t0
+
     def insert_samples(self, wavs: List[np.ndarray], sample_ids: List[int]) -> None:
         """Featurize up to insert_batch new samples and place them in slots."""
         assert len(wavs) <= len(self.free_slots)
         K = self.insert_batch
         S = max(int(w.shape[0]) for w in wavs)
-        S = -(-S // 1600) * 1600  # 0.1 s steps keep shape variety bounded
+        # pad to the wav bucket ladder: one compiled featurizer shape per
+        # bucket (compile cost on remote-compile TPU backends is minutes per
+        # shape — unbounded shape variety would be pathological)
+        S = self._wav_bucket(S)
         wav = np.zeros((K, S), np.float32)
         lens = np.zeros((K,), np.int32)
         for r, w in enumerate(wavs):
             wav[r, : w.shape[0]] = w
             lens[r] = w.shape[0]
         feats, feat_lens = self._featurize(jnp.asarray(wav), jnp.asarray(lens))
+        # bucket padding can featurize past the slot buffer; crop (the extra
+        # frames are zero/invalid — true lengths come from the wav lens)
+        feats = feats[: self.max_frames]
+        feat_lens = jnp.minimum(feat_lens, self.max_frames)
         feat_lens = jnp.where(jnp.arange(K) < len(wavs), feat_lens, 0)
 
         slot_ids = np.full((K,), self.slots, np.int32)
