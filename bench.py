@@ -43,8 +43,8 @@ def log(msg):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "2048"))
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    n = int(os.environ.get("BENCH_N", "4096"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     buckets = tuple(
         float(s) for s in os.environ.get("BENCH_SECONDS", "4,8,15").split(",")
     )
