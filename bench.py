@@ -54,7 +54,23 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     params = RNNTParams()
     cfg = FeaturizerConfig()
-    weights = init_weights(jax.random.PRNGKey(0), params, dtype=dtype)
+    if os.environ.get("BENCH_DTYPE") == "quant":
+        # int8 encoder path: synthetic calibration then quantize
+        from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+        from rnnt_inference_tpu.ops.features import log_mel_features
+
+        w32 = init_weights(jax.random.PRNGKey(0), params, dtype=jnp.float32)
+        import numpy as _np
+
+        wav = jnp.asarray((_np.random.RandomState(1).randn(8, 64000) * 0.1).astype(_np.float32))
+        feats, flens = jax.jit(lambda a, b: log_mel_features(a, b, cfg))(
+            wav, jnp.full((8,), 64000, jnp.int32)
+        )
+        calib = calibrate(w32, [(feats, flens)], params)
+        weights = quantize_weights(w32, calib, params)
+        log("int8-quantized encoder (synthetic calibration)")
+    else:
+        weights = init_weights(jax.random.PRNGKey(0), params, dtype=dtype)
 
     store = SampleStore.synthetic(n=n, seed=0)
     qsl = QuerySampleLibrary(store, cfg, wav_buckets_s=buckets)

@@ -155,6 +155,28 @@ def server_step(
     )
 
 
+def server_multi_step(
+    weights: RNNTWeights,
+    state: ServerState,
+    split_len: int,
+    k: int,
+    params: RNNTParams = RNNTParams(),
+) -> Tuple[ServerState, jax.Array]:
+    """k streaming steps fused into ONE jitted program.
+
+    Per-dispatch host overhead (tens of ms on relayed backends) would
+    otherwise dominate the ~2-3 ms device cost of a single step.  The
+    returned mask is the OR of the k per-step finish masks; finished slots
+    stay inert (w_lens=0 steps don't touch their results) until the host
+    extracts and refills them.
+    """
+    fin_acc = jnp.zeros_like(state.active)
+    for _ in range(k):
+        state, fin = server_step(weights, state, split_len, params)
+        fin_acc = fin_acc | fin
+    return state, fin_acc
+
+
 class ServerRunner:
     """Host-side driver around the jitted slot pipeline.
 
@@ -173,6 +195,7 @@ class ServerRunner:
         split_len: int = 24,
         max_frames: Optional[int] = None,
         insert_batch: int = 8,
+        steps_per_dispatch: int = 4,
     ):
         self.weights = weights
         self.params = params
@@ -183,6 +206,7 @@ class ServerRunner:
         # round max_frames up so windows never straddle the buffer end
         self.max_frames = -(-self.max_frames // split_len) * split_len
         self.insert_batch = insert_batch
+        self.steps_per_dispatch = steps_per_dispatch
 
         from rnnt_inference_tpu.runtime.qsl import DEFAULT_WAV_BUCKETS_S
 
@@ -207,7 +231,9 @@ class ServerRunner:
             lambda st, f, fl, si: server_insert(st, f, fl, si, params)
         )
         self._step = jax.jit(
-            lambda w, st: server_step(w, st, split_len, params)
+            lambda w, st: server_multi_step(
+                w, st, split_len, steps_per_dispatch, params
+            )
         )
 
     def _wav_bucket(self, s: int) -> int:
@@ -263,9 +289,22 @@ class ServerRunner:
         )
 
     def step(self) -> np.ndarray:
-        """One streaming step; returns indices of slots that just finished."""
+        """One streaming step; returns indices of slots that just finished.
+        Synchronous (host readback per step) — convenient for tests/warmup."""
+        return np.nonzero(np.asarray(self.step_async()))[0]
+
+    def step_async(self):
+        """Dispatch one streaming step WITHOUT host synchronization; returns
+        the device-resident finished mask.
+
+        Per-step host readbacks serialize the pipeline on backends with high
+        host round-trip latency (~50 ms on relayed TPU: measured 31 s p99 at
+        30 QPS before this).  Callers keep a small in-flight window of masks
+        and read back the oldest while newer steps compute — finished slots
+        are safe to extract later because steps with w_lens=0 never modify a
+        finished slot's result buffer."""
         self.state, finished = self._step(self.weights, self.state)
-        return np.nonzero(np.asarray(finished))[0]
+        return finished
 
     def extract(self, finished_slots) -> List[Tuple[int, np.ndarray]]:
         """Pull token results for finished slots and free them."""
