@@ -9,9 +9,8 @@ either raw waveforms or precomputed features, plus transcripts.
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

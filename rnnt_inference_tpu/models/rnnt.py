@@ -8,7 +8,7 @@ All of these are designed to be called from inside jit / while_loop.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ into a transcription half (columns :1024, zero bias) and a prediction half
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ reference: models/quant_lstm.py, mlperf_plugins lstm_amx_*):
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

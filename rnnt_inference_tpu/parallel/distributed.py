@@ -10,7 +10,7 @@ limited only by per-host load imbalance.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

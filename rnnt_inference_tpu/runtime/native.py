@@ -12,8 +12,6 @@ import subprocess
 import threading
 from typing import List, Optional
 
-import numpy as np
-
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )

@@ -10,7 +10,7 @@ Reference behaviors reproduced (csrc/rnnt_qsl.cpp, models/rnnt_qsl.py):
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -141,7 +141,6 @@ class DeviceQSL:
 
     def __init__(self, qsl: QuerySampleLibrary, batch_size: int, indices=None):
         import jax
-        import jax.numpy as jnp
 
         if indices is None:
             indices = np.arange(len(qsl))

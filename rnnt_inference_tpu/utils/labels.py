@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 LABELS: List[str] = [" "] + [chr(ord("a") + i) for i in range(26)] + ["'"]
 NUM_LABELS = len(LABELS) + 1  # + BLANK
