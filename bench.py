@@ -43,7 +43,7 @@ def log(msg):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "4096"))
+    n = int(os.environ.get("BENCH_N", "8192"))
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     buckets = tuple(
         float(s) for s in os.environ.get("BENCH_SECONDS", "4,8,15").split(",")
@@ -52,7 +52,13 @@ def main():
     set_lstm_impl(os.environ.get("RNNT_LSTM_IMPL", "pallas"))
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
-    params = RNNTParams()
+    import dataclasses as _dc
+
+    # 512 tokens comfortably covers <=15 s transcripts (~450 chars max);
+    # halves the per-batch result transfer vs the 1024 default
+    params = _dc.replace(
+        RNNTParams(), max_res_len=int(os.environ.get("BENCH_RES_LEN", "512"))
+    )
     cfg = FeaturizerConfig()
     if os.environ.get("BENCH_DTYPE") == "quant":
         # int8 encoder path: synthetic calibration then quantize
