@@ -93,3 +93,33 @@ def test_accuracy_log_roundtrip(tmp_path):
         summary = json.load(f)
     assert summary["samples"] == 4
     assert summary["audio_seconds_per_second"] > 0
+
+
+def test_packed_result_unpack():
+    """Packed int8 result buffer round-trip, incl. lengths > 255 (hi byte)."""
+    from rnnt_inference_tpu.runtime.offline import OfflineRunner
+
+    N, cap = 4, 300
+    res = np.random.RandomState(0).randint(-1, 29, size=(N, cap)).astype(np.int8)
+    lens = np.array([0, 7, 255, 300], np.int32)
+    lo = (lens & 0xFF).astype(np.int8)
+    hi = (lens >> 8).astype(np.int8)
+    packed = np.concatenate([res, lo[:, None], hi[:, None]], axis=1)
+    res2, lens2 = OfflineRunner._unpack(packed)
+    np.testing.assert_array_equal(res2, res)
+    np.testing.assert_array_equal(lens2, lens)
+
+
+def test_device_qsl_roundtrip_cpu():
+    """DeviceQSL staging on CPU devices: batches cover all samples once."""
+    store = _store(7, seed=5)
+    qsl = QuerySampleLibrary(store, CFG, wav_buckets_s=(1.0, 1.5))
+    dqsl = qsl.load_to_device(batch_size=3)
+    seen = []
+    for wav, lens, rows in dqsl.batches():
+        assert wav.shape[0] == 3
+        for r, i in enumerate(rows):
+            if i >= 0:
+                seen.append(int(i))
+                assert int(lens[r]) == store.samples[i].shape[0]
+    assert sorted(seen) == list(range(7))
