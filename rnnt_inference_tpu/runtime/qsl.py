@@ -145,6 +145,10 @@ class DeviceQSL:
         if indices is None:
             indices = np.arange(len(qsl))
         self.batch_size = batch_size
+        # each bucket's tail runs at a smaller batch shape so row padding
+        # costs <= tail_batch-1 zero-length lanes instead of batch_size-1
+        # (zero-length lanes still pay full encoder compute)
+        self.tail_batch = 256 if batch_size % 256 == 0 else batch_size
         order = qsl.sort_desc(indices)
 
         # group rows by bucket (sorted desc => contiguous runs per bucket)
@@ -156,7 +160,7 @@ class DeviceQSL:
 
         self.buckets = []  # (S, wav_dev {n,S} int16, lens_dev {n}, row_index {n})
         for S, rows in sorted(by_bucket.items(), reverse=True):
-            n = -(-len(rows) // batch_size) * batch_size
+            n = -(-len(rows) // self.tail_batch) * self.tail_batch
             wav = np.zeros((n, S), np.int16)
             lens = np.zeros((n,), np.int32)
             row_index = np.full((n,), -1, np.int64)
@@ -175,10 +179,22 @@ class DeviceQSL:
             np.asarray(l[:1])
 
     def batches(self):
-        """Yield (wav_i16 {B,S} device, lens {B} device, row_index {B})."""
+        """Yield (wav_i16 {B,S} device, lens {B} device, row_index {B}).
+
+        Full batch_size batches first, then tail_batch-sized batches for
+        each bucket's remainder (2 compiled shapes per bucket)."""
         B = self.batch_size
+        TB = self.tail_batch
         for S, wav, lens, row_index in self.buckets:
-            for start in range(0, wav.shape[0], B):
+            n = wav.shape[0]
+            start = 0
+            while start + B <= n:
                 yield wav[start : start + B], lens[start : start + B], row_index[
                     start : start + B
                 ]
+                start += B
+            while start < n:
+                yield wav[start : start + TB], lens[start : start + TB], row_index[
+                    start : start + TB
+                ]
+                start += TB
