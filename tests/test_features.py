@@ -115,3 +115,20 @@ def test_preemphasis_masking():
     np.testing.assert_allclose(np.asarray(y[0, 6:]), np.zeros(4))
     assert abs(float(y[0, 0]) - 1.0) < 1e-6
     np.testing.assert_allclose(np.asarray(y[0, 1:6]), np.full(5, 0.03), rtol=1e-5)
+
+
+def test_radix2_power_spectrum_matches_direct():
+    """power_spectrum_radix2 (documented negative perf result on TPU, kept
+    as an exact alternative formulation) must match the direct DFT."""
+    from rnnt_inference_tpu.ops.features import (
+        _frontend_constants,
+        power_spectrum,
+        power_spectrum_radix2,
+    )
+
+    cfg = FeaturizerConfig()
+    cos_m, sin_m, _ = _frontend_constants(cfg)
+    frames = jnp.asarray(np.random.RandomState(1).randn(2, 5, 512).astype(np.float32))
+    a = np.asarray(power_spectrum(frames, jnp.asarray(cos_m), jnp.asarray(sin_m)))
+    b = np.asarray(power_spectrum_radix2(frames, cfg))
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-3)
