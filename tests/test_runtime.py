@@ -123,3 +123,25 @@ def test_device_qsl_roundtrip_cpu():
                 seen.append(int(i))
                 assert int(lens[r]) == store.samples[i].shape[0]
     assert sorted(seen) == list(range(7))
+
+
+def test_offline_precomputed_features_store():
+    """Offline run over a kind='features' store (the reference's
+    dev-clean-input.pt mode) matches the waveform-mode hypotheses."""
+    import jax.numpy as jnp
+    from rnnt_inference_tpu.ops.features import log_mel_features
+
+    wave_store = _store(4, seed=9)
+    w = init_weights(jax.random.PRNGKey(3), SMALL)
+    ref = run_offline(w, wave_store, SMALL, CFG, batch_size=2, warmup=False)
+
+    # precompute features per sample
+    feats = []
+    fn = jax.jit(log_mel_features, static_argnames="cfg")
+    for s in wave_store.samples:
+        f, fl = fn(jnp.asarray(s[None]), jnp.asarray([s.shape[0]], np.int32), CFG)
+        feats.append(np.asarray(f)[: int(fl[0]), 0, :])
+    feat_store = SampleStore(kind="features", samples=feats, transcripts=[""] * 4)
+
+    rep = run_offline(w, feat_store, SMALL, CFG, batch_size=2, warmup=False)
+    assert rep.hypotheses == ref.hypotheses
