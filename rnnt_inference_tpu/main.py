@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--mlperf_conf", type=str, default=None)
     p.add_argument("--user_conf", type=str, default=None)
     p.add_argument("--output_dir", type=str, default="output")
+    p.add_argument("--profiler_dir", type=str, default=None,
+                   help="write a jax.profiler device trace of the run here "
+                        "(reference: csrc/utils.hpp ProfileRecord)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -135,56 +138,63 @@ def main(argv=None):
 
     # -- stage: benchmark / accuracy (reference main.py:60-85) ---------------
     if args.benchmark or args.accuracy:
+        from rnnt_inference_tpu.utils.profiler import device_trace
+
         store = load_store(args, args.sample_file)
         if args.manifest:
             from rnnt_inference_tpu.data.manifest import Manifest
 
             store.transcripts = Manifest([args.manifest], max_duration=15.0).transcripts
 
-        if args.scenario == "Offline":
-            from rnnt_inference_tpu.runtime.harness import run_offline
+        with device_trace(args.profiler_dir):
+            _run_scenario(args, weights, store, params, cfg)
 
-            report = run_offline(
-                weights, store, params, cfg,
-                batch_size=args.batch_size,
-                split_len=args.split_len,
-                accuracy=args.accuracy,
-                output_dir=args.output_dir,
-                device_resident=not args.accuracy,
-            )
-            print(json.dumps(report.summary(), indent=2))
-        elif args.scenario == "Server":
-            from rnnt_inference_tpu.runtime.config import TestSettings
-            from rnnt_inference_tpu.runtime.harness import tokens_to_hex
-            from rnnt_inference_tpu.runtime.scheduler import run_server
-            from rnnt_inference_tpu.runtime.server import ServerRunner
 
-            settings = TestSettings.from_conf(
-                args.mlperf_conf, args.user_conf, "rnnt", "Server"
-            )
-            runner = ServerRunner(
-                weights, params, cfg,
-                slots=args.server_slots,
-                split_len=max(args.split_len, 2) if args.split_len > 0 else 24,
-            )
-            metrics, results = run_server(
-                runner, store, target_qps=settings.target_qps,
-                realtime=not args.accuracy,
-            )
-            summary = metrics.summary()
-            print(json.dumps(summary, indent=2))
-            os.makedirs(args.output_dir, exist_ok=True)
-            with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
-                json.dump(summary, f, indent=2)
-            if args.accuracy:
-                acc = [
-                    {"qsl_idx": i, "data": tokens_to_hex(results[i])}
-                    for i in sorted(results)
-                ]
-                with open(os.path.join(args.output_dir, "accuracy_log.json"), "w") as f:
-                    json.dump(acc, f)
-        else:
-            raise SystemExit(f"scenario {args.scenario} not implemented yet")
+def _run_scenario(args, weights, store, params, cfg):
+    if args.scenario == "Offline":
+        from rnnt_inference_tpu.runtime.harness import run_offline
+
+        report = run_offline(
+            weights, store, params, cfg,
+            batch_size=args.batch_size,
+            split_len=args.split_len,
+            accuracy=args.accuracy,
+            output_dir=args.output_dir,
+            device_resident=not args.accuracy,
+        )
+        print(json.dumps(report.summary(), indent=2))
+    elif args.scenario == "Server":
+        from rnnt_inference_tpu.runtime.config import TestSettings
+        from rnnt_inference_tpu.runtime.harness import tokens_to_hex
+        from rnnt_inference_tpu.runtime.scheduler import run_server
+        from rnnt_inference_tpu.runtime.server import ServerRunner
+
+        settings = TestSettings.from_conf(
+            args.mlperf_conf, args.user_conf, "rnnt", "Server"
+        )
+        runner = ServerRunner(
+            weights, params, cfg,
+            slots=args.server_slots,
+            split_len=max(args.split_len, 2) if args.split_len > 0 else 24,
+        )
+        metrics, results = run_server(
+            runner, store, target_qps=settings.target_qps,
+            realtime=not args.accuracy,
+        )
+        summary = metrics.summary()
+        print(json.dumps(summary, indent=2))
+        os.makedirs(args.output_dir, exist_ok=True)
+        with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        if args.accuracy:
+            acc = [
+                {"qsl_idx": i, "data": tokens_to_hex(results[i])}
+                for i in sorted(results)
+            ]
+            with open(os.path.join(args.output_dir, "accuracy_log.json"), "w") as f:
+                json.dump(acc, f)
+    else:
+        raise SystemExit(f"scenario {args.scenario} not implemented yet")
 
 
 if __name__ == "__main__":

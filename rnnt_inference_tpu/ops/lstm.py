@@ -94,7 +94,8 @@ def _pallas_eligible(layer: LSTMLayerWeights, x: jax.Array) -> bool:
     return (
         _LSTM_IMPL == "pallas"
         and layer.w_ih.dtype != jnp.int8
-        and N % 8 == 0
+        # kernel tiles N>128 into 128-row tiles (lstm_pallas._lstm_recurrence)
+        and ((N <= 128 and N % 8 == 0) or N % 128 == 0)
         and H % 128 == 0
         and T >= 2
     )

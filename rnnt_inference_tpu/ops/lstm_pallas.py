@@ -13,8 +13,14 @@ TPU-idiomatic split:
   - input projection x@W_ih + b : ONE large MXU matmul over (T*N, IC) (XLA)
   - recurrence h@W_hh + gates   : this kernel, grid=(T,), state in VMEM
 
-VMEM budget at H=1024, N=128 bf16: W_hh 8 MB + 2x xw blocks 2 MB
-+ 2x y blocks 0.5 MB + h/c scratch 0.75 MB ≈ 11.5 MB < 16 MB.
+xw stays f32 through the kernel (same as the XLA scan) so the Pallas and
+XLA paths are numerically aligned — the perf-measured path must not differ
+from the accuracy-validated one.
+
+VMEM budget at H=1024, BN=128: W_hh 8 MB bf16 + 2x xw f32 blocks 4 MB
++ 2x y blocks 0.5 MB + h/c scratch 0.75 MB ≈ 13.3 MB < 16 MB.
+(N > 128 is tiled into 128-row tiles; f32 xw blocks no longer fit untiled
+at N=256.)
 """
 
 from __future__ import annotations
@@ -75,9 +81,8 @@ def _lstm_recurrence(
     T, N, H4 = xw.shape
     H = w_hh.shape[0]
     dtype = w_hh.dtype
-    # tile the batch so VMEM holds W_hh + one tile's buffers at any N;
-    # N=256 untiled still fits (~14.5 MB) and keeps the per-step matmul fat
-    BN = N if N <= 256 else 128
+    # tile the batch so VMEM holds W_hh + one tile's f32 xw buffers at any N
+    BN = N if N <= 128 else 128
     assert N % BN == 0, f"batch {N} is not a multiple of the {BN} kernel tile"
     nb = N // BN
     if nb == 1:
@@ -137,10 +142,12 @@ def lstm_layer_pallas(
     """Drop-in replacement for ops.lstm.lstm_layer using the Pallas kernel."""
     dtype = layer.w_ih.dtype
     x = x.astype(dtype)
+    # xw stays f32 (matches ops.lstm.lstm_layer exactly); only the h@W_hh
+    # operands are bf16
     xw = (
         jnp.dot(x, layer.w_ih, preferred_element_type=jnp.float32)
         + layer.b.astype(jnp.float32)
-    ).astype(dtype)
+    )
     ys, hT, cT = _lstm_recurrence(
         xw, layer.w_hh, h0.astype(dtype), c0.astype(jnp.float32), interpret=interpret
     )

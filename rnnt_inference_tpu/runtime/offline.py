@@ -66,7 +66,7 @@ class OfflineRunner:
 
         @functools.partial(jax.jit, static_argnames=())
         def _pipeline_i16(weights, wav_i16, wav_lens):
-            wav = wav_i16.astype(jnp.float32) * (1.0 / 32767.0)
+            wav = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
             feats, feat_lens = log_mel_features(wav, wav_lens, cfg)
             res, res_lens = greedy_decode(
                 weights, feats, feat_lens, params=params, split_len=split_len

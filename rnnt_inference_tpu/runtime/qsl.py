@@ -166,9 +166,12 @@ class DeviceQSL:
             row_index = np.full((n,), -1, np.int64)
             for r, i in enumerate(rows):
                 s = qsl.store.samples[i][:S]
-                wav[r, : s.shape[0]] = np.clip(s * 32767.0, -32768, 32767).astype(
-                    np.int16
-                )
+                # round-to-nearest with the same 32768 scale load_wav divides
+                # by, so 16-bit source audio round-trips bit-exactly through
+                # the int16 staging path (dequant constant is 1/32768)
+                wav[r, : s.shape[0]] = np.clip(
+                    np.round(s * 32768.0), -32768, 32767
+                ).astype(np.int16)
                 lens[r] = s.shape[0]
                 row_index[r] = i
             self.buckets.append(
