@@ -71,6 +71,15 @@ class FeaturizerConfig:
     dither: float = 1e-5
     frame_splicing: int = 3
     max_duration: float = 16.7
+    # STFT boundary padding of n_fft//2 on both sides:
+    #   "zeros"   — the reference SUT's behavior: its custom preemphasis op
+    #               zero-pads pad_size=n_fft//2 and torch.stft runs with
+    #               center=False (reference: datasets/parts/features.py:196-210)
+    #   "reflect" — torch.stft(center=True) semantics of the upstream
+    #               training featurizer; kept as an option
+    # Only boundary frames differ; "zeros" is the default because the WER
+    # contract is scored against the reference SUT.
+    pad_mode: str = "zeros"
 
     @property
     def win_length(self) -> int:

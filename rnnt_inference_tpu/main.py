@@ -27,9 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--calib_out", type=str, default="rnnt_calib.npz")
     p.add_argument("--quant_in", type=str, default=None)
     p.add_argument("--quant_out", type=str, default="rnnt_quant.npz")
-    # run mode (reference: arguments.py run_mode {None,f32,calib,quant})
+    # run mode (reference: arguments.py run_mode {None,f32,calib,quant,fake_quant})
     p.add_argument("--run_mode", type=str, default="bf16",
-                   choices=["f32", "bf16", "quant"])
+                   choices=["f32", "bf16", "quant", "fake_quant"])
     # stages
     p.add_argument("--calibration", action="store_true")
     p.add_argument("--save_quant", action="store_true")
@@ -76,6 +76,15 @@ def load_model_weights(args, params):
         w = ckpt.load_weights(args.model, params)
     else:
         w = load_torch_checkpoint(args.model, params)
+    if args.run_mode == "fake_quant":
+        # quantization-error triage mode (reference run_mode fake_quant):
+        # needs the calibrated activation amaxes
+        from rnnt_inference_tpu.models.quant import fake_quantize_weights
+
+        if not args.calib_in:
+            raise SystemExit("--run_mode fake_quant requires --calib_in")
+        calib = ckpt.load_calib(args.calib_in)
+        return fake_quantize_weights(w.astype(jnp.float32), calib, params), "fake_quant"
     if args.run_mode == "bf16":
         w = w.astype(jnp.bfloat16)
     return w, args.run_mode

@@ -234,15 +234,37 @@ def calibrate(
     return calib
 
 
+@_pytree_dataclass
+class FakeQuantRNNTWeights:
+    """fake_quant run mode (reference: arguments.py run_mode "fake_quant").
+
+    f32 execution with int8 *rounding* simulated everywhere the int8 path
+    rounds: encoder weights are quantize-dequantized at build time
+    (quant_modules.py:124-135), and at every recurrence step the activation
+    pair cat(x_t, h_{t-1}) is quantize-dequantized with the layer's
+    CALIBRATED shared scale (quant_lstm.py:162-183 — the input_quantizer
+    runs in fake_quant mode with update_amax=False, so amax is the
+    calibration buffer, not the live tensor).  Prediction + joint stay f32,
+    as in the reference.  This is the quantization-error triage mode.
+    """
+
+    pre_rnn: List[LSTMLayerWeights]  # weights already fake-quantized
+    post_rnn: List[LSTMLayerWeights]
+    pre_in_scale: jax.Array  # (PRE_L,) 127/act_amax per layer
+    post_in_scale: jax.Array  # (POST_L,)
+    embed: jax.Array
+    pred_rnn: List[LSTMLayerWeights]
+    joint: object
+
+
 def fake_quantize_weights(
     weights: RNNTWeights,
     calib: CalibState,
     params: RNNTParams = RNNTParams(),
-) -> RNNTWeights:
-    """fake_quant run mode (reference: arguments.py run_mode, 
-    quant_modules.py:124-135): quantize-dequantize the encoder weights in
-    f32 so the f32 execution path simulates int8 weight rounding.  Used for
-    accuracy triage of quantization error without the int8 kernels."""
+) -> FakeQuantRNNTWeights:
+    """Build the fake_quant model: fq'd encoder weights (amax over
+    cat(w_ih, w_hh) per layer) + calibrated activation scales for the
+    per-step cat(x,h) fake-quant in ops.lstm.fake_quant_lstm_stack."""
 
     def fq_layer(layer: LSTMLayerWeights) -> LSTMLayerWeights:
         w_cat = jnp.concatenate([layer.w_ih, layer.w_hh], axis=0)
@@ -250,9 +272,11 @@ def fake_quantize_weights(
         fq = lambda w: jnp.clip(jnp.round(w * scale), MIN_BOUND, MAX_BOUND) / scale
         return LSTMLayerWeights(w_ih=fq(layer.w_ih), w_hh=fq(layer.w_hh), b=layer.b)
 
-    return RNNTWeights(
+    return FakeQuantRNNTWeights(
         pre_rnn=[fq_layer(l) for l in weights.pre_rnn],
         post_rnn=[fq_layer(l) for l in weights.post_rnn],
+        pre_in_scale=MAX_BOUND / calib.pre_amax,
+        post_in_scale=MAX_BOUND / calib.post_amax,
         embed=weights.embed,
         pred_rnn=weights.pred_rnn,
         joint=weights.joint,

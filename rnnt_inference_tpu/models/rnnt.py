@@ -63,7 +63,7 @@ def transcription(
     Returns f: {ceil(T/2), N, 1024} and the carried state.
     Dispatches to the int8 path for QuantRNNTWeights (trace-time isinstance).
     """
-    from rnnt_inference_tpu.models.quant import QuantRNNTWeights
+    from rnnt_inference_tpu.models.quant import FakeQuantRNNTWeights, QuantRNNTWeights
 
     if isinstance(weights, QuantRNNTWeights):
         from rnnt_inference_tpu.ops.lstm_int8 import quant_lstm_stack
@@ -74,6 +74,16 @@ def transcription(
         y = stack_time(y, x_lens, params.stack_time_factor)
         f, post_h, post_c = quant_lstm_stack(
             weights.post_rnn, y, state.post_h, state.post_c, skip_quant_y=True
+        )
+    elif isinstance(weights, FakeQuantRNNTWeights):
+        from rnnt_inference_tpu.ops.lstm import fake_quant_lstm_stack
+
+        y, pre_h, pre_c = fake_quant_lstm_stack(
+            weights.pre_rnn, weights.pre_in_scale, x, state.pre_h, state.pre_c
+        )
+        y = stack_time(y, x_lens, params.stack_time_factor)
+        f, post_h, post_c = fake_quant_lstm_stack(
+            weights.post_rnn, weights.post_in_scale, y, state.post_h, state.post_c
         )
     else:
         y, pre_h, pre_c = lstm_stack(weights.pre_rnn, x, state.pre_h, state.pre_c)

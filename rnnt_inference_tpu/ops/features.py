@@ -5,9 +5,12 @@ mlperf_plugins feature ops bound at models/_C.py:32-40):
 
   1. preemphasis: y[t] = x[t] - 0.97 * x[t-1], length-masked
   2. STFT: n_fft=512, win=320 (hann, periodic=False, centered inside 512),
-     hop=160, center=True-equivalent via n_fft/2 reflect? -> the reference
-     pads n_fft/2 zeros around the signal in its custom preemphasis op and
-     calls torch.stft(center=False); frame count = floor(len/hop) + 1
+     hop=160; boundary padding of n_fft/2 per cfg.pad_mode — "zeros"
+     (default) reproduces the reference SUT, whose custom preemphasis op
+     zero-pads pad_size=n_fft//2 and runs torch.stft(center=False)
+     (reference: datasets/parts/features.py:196-210); "reflect" reproduces
+     torch.stft(center=True) training-featurizer semantics.  Frame count =
+     floor(len/hop) + 1 either way
   3. power spectrum |STFT|^2
   4. + dither^2 (deterministic dithering, features.py:218-220)
   5. mel filterbank (librosa slaney-norm, htk=False) matmul + 1e-20 bias, log
@@ -193,10 +196,11 @@ def preemphasis(x: jax.Array, x_lens: jax.Array, coeff: float = 0.97) -> jax.Arr
     return jnp.where(t < x_lens[:, None], y, 0.0)
 
 
-def frame_signal(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
-    """Reflect-pad n_fft//2 both sides (torch.stft center=True semantics,
-    matching the upstream featurizer the checkpoint was trained with) and
-    slice frames.
+def frame_signal(
+    x: jax.Array, n_fft: int, hop: int, pad_mode: str = "zeros"
+) -> jax.Array:
+    """Pad n_fft//2 both sides (mode per FeaturizerConfig.pad_mode — see the
+    module docstring for the reference-parity rationale) and slice frames.
 
     x: (N, S) -> frames (N, T, n_fft) with T = S//hop + 1.
 
@@ -211,7 +215,8 @@ def frame_signal(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
     step = hop // g
     nblocks = step * (T - 1) + n_fft // g
     total = nblocks * g
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    mode = "constant" if pad_mode == "zeros" else pad_mode
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode=mode)
     if x.shape[1] < total:
         x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
     blocks = x[:, :total].reshape(N, nblocks, g)
@@ -275,7 +280,7 @@ def log_mel_features(
     fb_t = jnp.asarray(fb.T)  # (n_freq, n_mels)
 
     x = preemphasis(x, x_lens, cfg.preemph)
-    frames = frame_signal(x, cfg.n_fft, cfg.hop_length)  # (N, T, n_fft)
+    frames = frame_signal(x, cfg.n_fft, cfg.hop_length, cfg.pad_mode)  # (N, T, n_fft)
     # direct windowed-DFT matmuls: measured FASTER on TPU than both
     # jnp.fft.rfft (3.6x) and the radix-2 split below (2x) — the radix
     # split's lane de-interleave + 129-bin matmuls + reversed slices cost

@@ -129,6 +129,61 @@ def lstm_stack(
     return y, jnp.stack(new_h), jnp.stack(new_c)
 
 
+def fake_quant_lstm_layer(
+    layer: LSTMLayerWeights,
+    in_scale: jax.Array,
+    x: jax.Array,
+    h0: jax.Array,
+    c0: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One fake_quant LSTM layer: f32 cell math with per-step int8 rounding
+    of the activations (reference: models/quant_lstm.py:162-183).
+
+    The reference quantize-dequantizes cat(x_t, h_{t-1}) with ONE calibrated
+    per-tensor scale.  Because the fake-quant op is elementwise and the scale
+    is shared, fq(cat(x, h)) == cat(fq(x), fq(h)) — so x is fake-quantized
+    once for the whole chunk (hoisted, like the input projection) and only
+    the h half runs per step inside the scan.  The carried h stays raw f32
+    (the reference re-assigns hx from the raw cell output each step); the
+    layer output sequence is the raw h outputs (no output quantizer runs in
+    fake_quant mode).
+    """
+
+    def fq(v):
+        return jnp.clip(jnp.round(v * in_scale), -128.0, 127.0) / in_scale
+
+    x = fq(x.astype(jnp.float32))
+    xw = (
+        jnp.dot(x, layer.w_ih, preferred_element_type=jnp.float32)
+        + layer.b.astype(jnp.float32)
+    )
+
+    def step(carry, xw_t):
+        h, c = carry
+        h_new, c_new = lstm_cell(xw_t, fq(h), c, layer.w_hh)
+        return (h_new, c_new), h_new
+
+    (h, c), ys = jax.lax.scan(step, (h0.astype(jnp.float32), c0.astype(jnp.float32)), xw)
+    return ys, h, c
+
+
+def fake_quant_lstm_stack(
+    layers: Sequence[LSTMLayerWeights],
+    in_scales: jax.Array,
+    x: jax.Array,
+    hs: jax.Array,
+    cs: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Multi-layer fake_quant LSTM (fake-quant analog of quant_lstm_stack)."""
+    new_h, new_c = [], []
+    y = x
+    for l, layer in enumerate(layers):
+        y, h, c = fake_quant_lstm_layer(layer, in_scales[l], y, hs[l], cs[l])
+        new_h.append(h)
+        new_c.append(c)
+    return y, jnp.stack(new_h), jnp.stack(new_c)
+
+
 def lstm_single_step(
     layers: Sequence[LSTMLayerWeights],
     x: jax.Array,

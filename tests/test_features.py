@@ -19,8 +19,14 @@ from rnnt_inference_tpu.ops.features import (
 
 
 def torch_ref_features(x_np, lens_np, cfg: FeaturizerConfig):
-    """Eager torch oracle: preemphasis -> stft(center) -> |.|^2 -> +dither^2
-    -> mel -> log -> splice x3 -> per-feature normalize -> zero pad frames."""
+    """Eager torch oracle: preemphasis -> stft -> |.|^2 -> +dither^2
+    -> mel -> log -> splice x3 -> per-feature normalize -> zero pad frames.
+
+    pad_mode "zeros" is modeled the way the reference SUT does it: explicit
+    zero-pad of n_fft//2 around the preemphasized signal followed by
+    torch.stft(center=False) (reference: datasets/parts/features.py:196-210,
+    preemphasis op pad_size=n_fft//2).  "reflect" uses torch.stft(center=True).
+    """
     x = torch.as_tensor(x_np.copy())
     lens = torch.as_tensor(lens_np)
     N, S = x.shape
@@ -30,16 +36,28 @@ def torch_ref_features(x_np, lens_np, cfg: FeaturizerConfig):
     y = torch.where(t < lens[:, None], y, torch.zeros(())).to(torch.float32)
 
     win = torch.from_numpy(hann_window(cfg.win_length))
-    spec = torch.stft(
-        y,
-        n_fft=cfg.n_fft,
-        hop_length=cfg.hop_length,
-        win_length=cfg.win_length,
-        window=win,
-        center=True,
-        pad_mode="reflect",
-        return_complex=True,
-    )  # (N, F, T)
+    if cfg.pad_mode == "zeros":
+        y_padded = torch.nn.functional.pad(y, (cfg.n_fft // 2, cfg.n_fft // 2))
+        spec = torch.stft(
+            y_padded,
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            win_length=cfg.win_length,
+            window=win,
+            center=False,
+            return_complex=True,
+        )  # (N, F, T)
+    else:
+        spec = torch.stft(
+            y,
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            win_length=cfg.win_length,
+            window=win,
+            center=True,
+            pad_mode="reflect",
+            return_complex=True,
+        )  # (N, F, T)
     power = spec.real**2 + spec.imag**2
     frame_lens = torch.div(lens, cfg.hop_length, rounding_mode="floor") + 1
     power = power + cfg.dither**2
@@ -68,8 +86,9 @@ def torch_ref_features(x_np, lens_np, cfg: FeaturizerConfig):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_log_mel_features_match_torch(seed):
-    cfg = FeaturizerConfig()
+@pytest.mark.parametrize("pad_mode", ["zeros", "reflect"])
+def test_log_mel_features_match_torch(seed, pad_mode):
+    cfg = FeaturizerConfig(pad_mode=pad_mode)
     rng = np.random.RandomState(seed)
     N = 3
     S = 16000  # 1 s

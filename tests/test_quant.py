@@ -168,6 +168,69 @@ def test_quant_greedy_decode_runs_and_tracks_f32():
     assert agree / total > 0.5, f"quant/f32 agreement too low: {agree}/{total}"
 
 
+def test_fake_quant_stack_matches_per_step_oracle():
+    """fake_quant run mode vs an eager per-step oracle of the reference's
+    QuantLSTMLayer.forward (models/quant_lstm.py:162-183): each step
+    fake-quants cat(x_t, h_{t-1}) with the CALIBRATED shared scale, cell
+    math in f32 with fake-quantized weights, raw h carried and emitted."""
+    from rnnt_inference_tpu.models.quant import fake_quantize_weights
+    from rnnt_inference_tpu.ops.lstm import fake_quant_lstm_stack
+
+    params = SMALL
+    w = init_weights(jax.random.PRNGKey(9), params)
+    T, N = 7, 3
+    x = jax.random.normal(jax.random.PRNGKey(10), (T, N, params.trans_input_size))
+    x_lens = jnp.full((N,), T, jnp.int32)
+    calib = calibrate(w, [(x, x_lens)], params)
+    fqw = fake_quantize_weights(w, calib, params)
+
+    H = params.trans_hidden_size
+    hs = jnp.zeros((2, N, H), jnp.float32)
+    cs = jnp.zeros((2, N, H), jnp.float32)
+    y, h_out, c_out = jax.jit(fake_quant_lstm_stack)(
+        fqw.pre_rnn, fqw.pre_in_scale, x, hs, cs
+    )
+
+    def oracle_layer(layer, in_s, x_np):
+        w_ih, w_hh, b = _np(layer.w_ih), _np(layer.w_hh), _np(layer.b)
+        h = np.zeros((N, H), np.float32)
+        c = np.zeros((N, H), np.float32)
+        ys = []
+        for t in range(x_np.shape[0]):
+            cat = np.concatenate([x_np[t], h], axis=1)
+            cat = np_fake_quant(cat, in_s)
+            xt, hq = cat[:, : x_np.shape[2]], cat[:, x_np.shape[2] :]
+            gates = xt @ w_ih + hq @ w_hh + b
+            i, f, g, o = np.split(gates, 4, axis=-1)
+            sig = lambda v: 1 / (1 + np.exp(-v))
+            c = sig(f) * c + sig(i) * np.tanh(g)
+            h = sig(o) * np.tanh(c)
+            ys.append(h)
+        return np.stack(ys), h, c
+
+    y0, _, _ = oracle_layer(fqw.pre_rnn[0], float(fqw.pre_in_scale[0]), _np(x))
+    y1, h1, c1 = oracle_layer(fqw.pre_rnn[1], float(fqw.pre_in_scale[1]), y0)
+    np.testing.assert_allclose(_np(y), y1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(_np(h_out[1]), h1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(_np(c_out[1]), c1, rtol=1e-4, atol=1e-5)
+
+
+def test_fake_quant_greedy_decode_runs():
+    """fake_quant weights drive the full decode path (transcription dispatch)."""
+    from rnnt_inference_tpu.models.quant import fake_quantize_weights
+
+    params = SMALL
+    w = init_weights(jax.random.PRNGKey(11), params)
+    T, N = 10, 2
+    x = jax.random.normal(jax.random.PRNGKey(12), (T, N, params.trans_input_size))
+    x_lens = jnp.array([T, 6], jnp.int32)
+    calib = calibrate(w, [(x, x_lens)], params)
+    fqw = fake_quantize_weights(w, calib, params)
+    res, lens = greedy_decode(fqw, x, x_lens, params=params)
+    res_f, _ = greedy_decode(w, x, x_lens, params=params)
+    assert res.shape == res_f.shape and np.all(_np(lens) >= 0)
+
+
 def test_quant_encoder_stack_matches_oracle():
     """Full 2-layer int8 stack vs chained numpy oracle."""
     params = SMALL
