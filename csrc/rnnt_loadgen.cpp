@@ -1,13 +1,24 @@
-// Mini-loadgen: native load generation + latency accounting for the Server
-// scenario.
+// Mini-loadgen: native load generation + latency accounting.
 //
 // TPU-native replacement for the pieces the reference gets from
 // mlcommons loadgen + moodycamel::BlockingConcurrentQueue
 // (reference: csrc/torch_sut.cpp IssueQuery/QuerySamplesComplete paths,
-// csrc/main.cpp:108-147): a dedicated issue thread pushes sample ids into a
-// bounded MPMC queue at Poisson-scheduled wall-clock times (steady_clock,
-// immune to Python GIL jitter), and completions are timestamped here so
-// latency percentiles are measured outside the Python interpreter.
+// csrc/main.cpp:108-147): a dedicated issue thread pushes QUERY ids into a
+// bounded MPMC queue (steady_clock, immune to Python GIL jitter), and
+// completions are timestamped here so latency percentiles are measured
+// outside the Python interpreter.
+//
+// Loadgen rule semantics implemented:
+//   - queries loop over the sample set (query q -> sample q % n_samples),
+//     so min_query_count larger than the set is honored like loadgen's
+//     sample-set cycling
+//   - the issuer keeps issuing until BOTH min_query_count queries are issued
+//     AND min_duration has elapsed (mlperf.conf min_duration/min_query_count,
+//     reference csrc/main.cpp:108-115 TestSettings)
+//   - Server latency is charged from the SCHEDULED Poisson arrival, not the
+//     actual (possibly backpressured) issue time — matching loadgen's
+//     overload accounting; the actual issue time is kept separately
+//   - SingleStream issues the next query only after the previous completes
 //
 // Exposed as a C ABI consumed via ctypes (no pybind11 in this image).
 
@@ -83,19 +94,52 @@ class BoundedQueue {
   bool closed_ = false;
 };
 
+// Counting semaphore for SingleStream issue-after-complete pacing.
+class Tokens {
+ public:
+  void post() {
+    std::lock_guard<std::mutex> lk(mu_);
+    ++n_;
+    cv_.notify_one();
+  }
+  // Wait for a token; returns false if released by close().
+  bool take(const std::atomic<bool>& stop) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_.wait(lk, [&] { return n_ > 0 || stop.load(); });
+    if (n_ == 0) return false;
+    --n_;
+    return true;
+  }
+  void release() {
+    std::lock_guard<std::mutex> lk(mu_);
+    cv_.notify_all();
+  }
+
+ private:
+  std::mutex mu_;
+  std::condition_variable cv_;
+  int64_t n_ = 0;
+};
+
 struct Test {
   BoundedQueue queue{4096};
   std::thread issuer;
   Clock::time_point t0;
-  std::vector<double> issue_time;     // per sample: scheduled+actual issue ts
+  std::vector<double> sched_time;     // per query: latency reference point
+  std::vector<double> actual_time;    // per query: actual issue timestamp
   std::vector<double> complete_time;  // -1 until completed
+  std::atomic<int64_t> issued{0};
   std::atomic<int64_t> completed{0};
-  int64_t n = 0;
+  std::atomic<bool> done_issuing{false};
+  int64_t n_samples = 0;
+  int64_t max_queries = 0;
   std::atomic<bool> stop{false};
+  Tokens tokens;  // SingleStream pacing
 
   ~Test() {
     stop = true;
     queue.close();
+    tokens.release();
     if (issuer.joinable()) issuer.join();
   }
 };
@@ -104,40 +148,82 @@ struct Test {
 
 extern "C" {
 
-// mode 0 = Server (Poisson at target_qps), 1 = Offline (issue all at t=0),
-// 2 = SingleStream (issue next only after previous completes — driven by
-//     lg_complete unblocking the issuer via a token).
-void* lg_create(int64_t n_samples, double target_qps, int mode,
-                uint64_t seed) {
+// mode 0 = Server (Poisson at target_qps), 1 = Offline (issue everything
+// up front), 2 = SingleStream (issue next only after previous completes).
+//
+// Queries are issued until BOTH `min_query_count` have been issued AND
+// `min_duration_s` has elapsed (each may be satisfied trivially by passing
+// 0); query q maps to sample q % n_samples.
+void* lg_create(int64_t n_samples, double target_qps, int mode, uint64_t seed,
+                int64_t min_query_count, double min_duration_s) {
   auto* t = new Test();
-  t->n = n_samples;
-  t->issue_time.assign(n_samples, -1.0);
-  t->complete_time.assign(n_samples, -1.0);
+  t->n_samples = n_samples;
+  if (min_query_count < 1) min_query_count = n_samples;
+  // Upper bound on queries so per-query arrays can be preallocated: the
+  // count rule, plus enough rate*duration queries to satisfy the duration
+  // rule at the target rate (2x slack; if the SUT is slower than target the
+  // duration is satisfied by backpressured wall time anyway).
+  int64_t rate_bound = min_query_count;
+  if (mode == 0) {
+    rate_bound = static_cast<int64_t>(target_qps * min_duration_s * 2) + 16;
+  } else if (mode == 2 && min_duration_s > 0) {
+    // SingleStream issue rate is SUT-latency-bound and unknown up front;
+    // 1M queries of headroom (24 MB of timestamps) covers any real run.
+    rate_bound = min_query_count + 1000000;
+  }
+  t->max_queries = std::max(min_query_count, rate_bound);
+  t->sched_time.assign(t->max_queries, -1.0);
+  t->actual_time.assign(t->max_queries, -1.0);
+  t->complete_time.assign(t->max_queries, -1.0);
   t->t0 = Clock::now();
 
-  if (mode == 1) {  // Offline: one query with every sample
-    for (int64_t i = 0; i < n_samples; ++i) {
-      t->issue_time[i] = 0.0;
-      t->queue.push(i);
-    }
+  if (mode == 1) {  // Offline: everything at t=0 (issuer thread only so the
+                    // bounded queue can backpressure without blocking create)
+    t->issuer = std::thread([t, min_query_count] {
+      for (int64_t q = 0; q < min_query_count && !t->stop; ++q) {
+        t->sched_time[q] = 0.0;
+        t->actual_time[q] = now_seconds(t->t0);
+        if (!t->queue.push(q)) return;
+        t->issued.fetch_add(1);
+      }
+      t->done_issuing = true;
+    });
+  } else if (mode == 2) {  // SingleStream: issue-after-complete
+    t->tokens.post();      // first query needs no predecessor
+    t->issuer = std::thread([t, min_query_count, min_duration_s] {
+      for (int64_t q = 0; q < t->max_queries && !t->stop; ++q) {
+        if (q >= min_query_count && now_seconds(t->t0) >= min_duration_s) break;
+        if (!t->tokens.take(t->stop)) return;
+        double ts = now_seconds(t->t0);
+        t->sched_time[q] = ts;  // latency from issue (no arrival schedule)
+        t->actual_time[q] = ts;
+        if (!t->queue.push(q)) return;
+        t->issued.fetch_add(1);
+      }
+      t->done_issuing = true;
+    });
   } else {  // Server: Poisson schedule on a dedicated thread
-    std::vector<double> sched(n_samples);
-    std::mt19937_64 rng(seed);
-    std::exponential_distribution<double> exp_dist(target_qps);
-    double acc = 0.0;
-    for (int64_t i = 0; i < n_samples; ++i) {
-      acc += exp_dist(rng);
-      sched[i] = acc;
-    }
-    t->issuer = std::thread([t, sched = std::move(sched)] {
-      for (int64_t i = 0; i < t->n && !t->stop; ++i) {
-        double wait = sched[i] - now_seconds(t->t0);
+    t->issuer = std::thread([t, target_qps, seed, min_query_count,
+                             min_duration_s] {
+      std::mt19937_64 rng(seed);
+      std::exponential_distribution<double> exp_dist(target_qps);
+      double sched = 0.0;
+      for (int64_t q = 0; q < t->max_queries && !t->stop; ++q) {
+        if (q >= min_query_count && sched >= min_duration_s) break;
+        sched += exp_dist(rng);
+        double wait = sched - now_seconds(t->t0);
         if (wait > 0) {
           std::this_thread::sleep_for(std::chrono::duration<double>(wait));
         }
-        t->issue_time[i] = now_seconds(t->t0);
-        if (!t->queue.push(i)) return;
+        // Latency is charged from the SCHEDULED arrival: under overload the
+        // actual push happens later (sleep skipped / queue backpressure) and
+        // that lateness must count against the SUT, like loadgen does.
+        t->sched_time[q] = sched;
+        t->actual_time[q] = now_seconds(t->t0);
+        if (!t->queue.push(q)) return;
+        t->issued.fetch_add(1);
       }
+      t->done_issuing = true;
     });
   }
   return t;
@@ -145,35 +231,44 @@ void* lg_create(int64_t n_samples, double target_qps, int mode,
 
 void lg_destroy(void* h) { delete static_cast<Test*>(h); }
 
-// Pull up to n pending sample ids; returns count (0 on timeout).
+// Pull up to n pending query ids; returns count (0 on timeout).
 int lg_poll(void* h, int64_t* out, int n, int64_t timeout_us) {
   return static_cast<Test*>(h)->queue.pop_bulk(out, n, timeout_us);
 }
 
-// Mark sample complete (timestamped here, native clock).
-void lg_complete(void* h, int64_t sample_id) {
+// Mark query complete (timestamped here, native clock).
+void lg_complete(void* h, int64_t query_id) {
   auto* t = static_cast<Test*>(h);
-  t->complete_time[sample_id] = now_seconds(t->t0);
+  t->complete_time[query_id] = now_seconds(t->t0);
   t->completed.fetch_add(1);
+  t->tokens.post();  // unblocks the SingleStream issuer; no-op otherwise
 }
 
 int64_t lg_completed(void* h) { return static_cast<Test*>(h)->completed.load(); }
+int64_t lg_issued(void* h) { return static_cast<Test*>(h)->issued.load(); }
+int64_t lg_n_samples(void* h) { return static_cast<Test*>(h)->n_samples; }
 
+// Issued-but-not-yet-polled queries currently waiting in the queue.
 int64_t lg_pending(void* h) {
   return static_cast<int64_t>(static_cast<Test*>(h)->queue.size());
 }
 
-// Latency stats over completed samples, milliseconds.
-// out: [count, mean, p50, p90, p99, max, wall_seconds, qps]
+// 1 once the issuer has issued its final query (count+duration satisfied).
+int64_t lg_done_issuing(void* h) {
+  return static_cast<Test*>(h)->done_issuing.load() ? 1 : 0;
+}
+
+// Latency stats over completed queries, milliseconds.
+// out: [count, mean, p50, p90, p99, max, wall_seconds, qps, issued]
 void lg_report(void* h, double* out) {
   auto* t = static_cast<Test*>(h);
   std::vector<double> lat;
-  lat.reserve(t->n);
+  lat.reserve(t->max_queries);
   double t_last = 0.0;
-  for (int64_t i = 0; i < t->n; ++i) {
-    if (t->complete_time[i] >= 0 && t->issue_time[i] >= 0) {
-      lat.push_back((t->complete_time[i] - t->issue_time[i]) * 1e3);
-      t_last = std::max(t_last, t->complete_time[i]);
+  for (int64_t q = 0; q < t->max_queries; ++q) {
+    if (t->complete_time[q] >= 0 && t->sched_time[q] >= 0) {
+      lat.push_back((t->complete_time[q] - t->sched_time[q]) * 1e3);
+      t_last = std::max(t_last, t->complete_time[q]);
     }
   }
   std::sort(lat.begin(), lat.end());
@@ -196,6 +291,7 @@ void lg_report(void* h, double* out) {
   out[5] = lat.empty() ? 0.0 : lat.back();
   out[6] = t_last;
   out[7] = t_last > 0 ? lat.size() / t_last : 0.0;
+  out[8] = static_cast<double>(t->issued.load());
 }
 
 }  // extern "C"

@@ -28,6 +28,9 @@ class SampleStore:
     kind: str
     samples: List[np.ndarray]
     transcripts: List[str] = field(default_factory=list)
+    # utterance file names (e.g. "103-1240-0010.wav"); used by calibration
+    # file lists (reference: configs/calibration_files.txt)
+    names: List[str] = field(default_factory=list)
 
     def __len__(self):
         return len(self.samples)
@@ -57,7 +60,12 @@ class SampleStore:
             path,
             __meta__=np.frombuffer(
                 json.dumps(
-                    {"kind": self.kind, "n": len(self.samples), "transcripts": self.transcripts}
+                    {
+                        "kind": self.kind,
+                        "n": len(self.samples),
+                        "transcripts": self.transcripts,
+                        "names": self.names,
+                    }
                 ).encode(),
                 dtype=np.uint8,
             ),
@@ -69,13 +77,47 @@ class SampleStore:
         z = np.load(path)
         meta = json.loads(bytes(z["__meta__"]).decode())
         samples = [z[f"s{i}"] for i in range(meta["n"])]
-        return cls(kind=meta["kind"], samples=samples, transcripts=meta["transcripts"])
+        return cls(
+            kind=meta["kind"],
+            samples=samples,
+            transcripts=meta["transcripts"],
+            names=meta.get("names", []),
+        )
+
+    def select(self, indices) -> "SampleStore":
+        """Subset view (copying lists, sharing arrays)."""
+        return SampleStore(
+            kind=self.kind,
+            samples=[self.samples[i] for i in indices],
+            transcripts=[self.transcripts[i] for i in indices]
+            if self.transcripts
+            else [],
+            names=[self.names[i] for i in indices] if self.names else [],
+        )
+
+    def filter_by_list(self, list_path: str) -> "SampleStore":
+        """Keep only utterances whose file name appears in a calibration
+        file list (reference: configs/calibration_files.txt — one relative
+        wav path per line; matching is by basename)."""
+        import os
+
+        with open(list_path) as f:
+            wanted = {os.path.basename(line.strip()) for line in f if line.strip()}
+        if not self.names:
+            raise ValueError(
+                "store has no utterance names; rebuild it with a converter "
+                "that records them (scripts/convert_librispeech.py)"
+            )
+        keep = [i for i, n in enumerate(self.names) if os.path.basename(n) in wanted]
+        return self.select(keep)
 
     # -- constructors --------------------------------------------------------
 
     @classmethod
     def from_manifest(cls, manifest, target_sr: int = 16000) -> "SampleStore":
         """Load waveforms for every manifest entry (LibriSpeech-as-wav)."""
+        import os
+
         from rnnt_inference_tpu.data.audio import load_audio
 
         samples = [load_audio(e["audio_filepath"], target_sr) for e in manifest]
@@ -83,6 +125,7 @@ class SampleStore:
             kind="waveform",
             samples=samples,
             transcripts=[e["transcript"] for e in manifest],
+            names=[os.path.basename(e["audio_filepath"]) for e in manifest],
         )
 
     @classmethod
@@ -112,13 +155,68 @@ def convert_librispeech(
     manifest_path: str,
     output_path: str,
     max_duration: float = 15.0,
+    file_list: str = None,
 ) -> SampleStore:
     """Offline one-shot conversion: manifest + wav files -> SampleStore npz
-    (the reference's convert_librispeech.py equivalent, minus sox)."""
+    (the reference's convert_librispeech.py equivalent, minus sox).
+
+    file_list restricts conversion to the listed utterances (the reference's
+    --output_list / calibration_files.txt mechanism)."""
+    import os
+
     from rnnt_inference_tpu.data.manifest import Manifest
 
     manifest = Manifest([manifest_path], data_dir=data_dir, max_duration=max_duration)
-    store = SampleStore.from_manifest(manifest)
+    entries = list(manifest)
+    if file_list:
+        with open(file_list) as f:
+            wanted = {os.path.basename(line.strip()) for line in f if line.strip()}
+        entries = [
+            e for e in entries if os.path.basename(e["audio_filepath"]) in wanted
+        ]
+    store = SampleStore.from_manifest(entries)
     if output_path:
         store.save(output_path)
     return store
+
+
+def compute_features_store(
+    store: SampleStore,
+    cfg: FeaturizerConfig = FeaturizerConfig(),
+    batch_size: int = 32,
+) -> SampleStore:
+    """Precompute log-mel features for a waveform store -> features store
+    (the reference's `{name}-input.pt` artifact,
+    datasets/convert_librispeech.py:150-163: per-utterance {T, C} tensors).
+
+    Batches through the wav bucket ladder so only a handful of featurizer
+    shapes compile; per-utterance outputs are trimmed to their true frame
+    counts, so the result is identical to per-utterance featurization under
+    the default zero-pad framing.
+    """
+    import jax.numpy as jnp
+
+    from rnnt_inference_tpu.ops.features import log_mel_features
+    from rnnt_inference_tpu.runtime.qsl import QuerySampleLibrary
+
+    assert store.kind == "waveform"
+    import jax
+
+    qsl = QuerySampleLibrary(store, cfg)
+    feat_fn = jax.jit(lambda a, b: log_mel_features(a, b, cfg))
+    order = qsl.sort_desc(np.arange(len(store)))
+    feats_by_idx: dict = {}
+    for s in range(0, len(order), batch_size):
+        batch_idx = order[s : s + batch_size]
+        wav, lens, _ = qsl.assemble_waveforms(batch_idx, pad_n=batch_size)
+        feats, out_lens = feat_fn(jnp.asarray(wav), jnp.asarray(lens))
+        feats = np.asarray(feats)  # {T, N, C}
+        out_lens = np.asarray(out_lens)
+        for r, i in enumerate(batch_idx):
+            feats_by_idx[int(i)] = feats[: out_lens[r], r, :].copy()
+    return SampleStore(
+        kind="features",
+        samples=[feats_by_idx[i] for i in range(len(store))],
+        transcripts=list(store.transcripts),
+        names=list(store.names),
+    )

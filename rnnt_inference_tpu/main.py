@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--sample_file", type=str, default=None,
                    help="SampleStore .npz (waveforms or features)")
     p.add_argument("--calib_file", type=str, default=None)
+    p.add_argument("--calib_list", type=str, default=None,
+                   help="calibration file list (reference "
+                        "configs/calibration_files.txt): restricts the "
+                        "calibration stage to the listed utterances")
     p.add_argument("--manifest", type=str, default=None,
                    help="manifest JSON for WER scoring")
     p.add_argument("--synthetic", type=int, default=0,
@@ -121,6 +125,10 @@ def main(argv=None):
         from rnnt_inference_tpu.runtime.qsl import QuerySampleLibrary
 
         store = load_store(args, args.calib_file)
+        if args.calib_list:
+            store = store.filter_by_list(args.calib_list)
+            print(f"calibration subset: {len(store)} utterances from "
+                  f"{args.calib_list}")
         qsl = QuerySampleLibrary(store, cfg)
         feat_fn = jax.jit(lambda a, b: log_mel_features(a, b, cfg))
         batches = []
@@ -173,7 +181,7 @@ def _run_scenario(args, weights, store, params, cfg):
         )
         print(json.dumps(report.summary(), indent=2))
     elif args.scenario == "Server":
-        from rnnt_inference_tpu.runtime.config import TestSettings
+        from rnnt_inference_tpu.runtime.config import TestSettings, validate_report
         from rnnt_inference_tpu.runtime.harness import tokens_to_hex
         from rnnt_inference_tpu.runtime.scheduler import run_server
         from rnnt_inference_tpu.runtime.server import ServerRunner
@@ -186,24 +194,44 @@ def _run_scenario(args, weights, store, params, cfg):
             slots=args.server_slots,
             split_len=max(args.split_len, 2) if args.split_len > 0 else 24,
         )
+        # accuracy runs cover the set exactly once; performance runs honor
+        # the conf's min_duration/min_query_count rules
         metrics, results = run_server(
             runner, store, target_qps=settings.target_qps,
             realtime=not args.accuracy,
+            response_size=args.response_size,
+            min_query_count=0 if args.accuracy else settings.min_query_count,
+            min_duration_s=0.0 if args.accuracy else settings.min_duration_ms / 1e3,
         )
-        summary = metrics.summary()
+        summary = validate_report(settings, metrics.summary())
         print(json.dumps(summary, indent=2))
         os.makedirs(args.output_dir, exist_ok=True)
         with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
         if args.accuracy:
+            n = len(store)
             acc = [
-                {"qsl_idx": i, "data": tokens_to_hex(results[i])}
-                for i in sorted(results)
+                {"qsl_idx": q % n, "data": tokens_to_hex(results[q])}
+                for q in sorted(results)
             ]
             with open(os.path.join(args.output_dir, "accuracy_log.json"), "w") as f:
                 json.dump(acc, f)
+    elif args.scenario == "SingleStream":
+        from rnnt_inference_tpu.runtime.config import TestSettings, validate_report
+        from rnnt_inference_tpu.runtime.harness import run_single_stream
+
+        settings = TestSettings.from_conf(
+            args.mlperf_conf, args.user_conf, "rnnt", "SingleStream"
+        )
+        report = run_single_stream(weights, store, params, cfg,
+                                   split_len=args.split_len)
+        summary = validate_report(settings, report.summary())
+        print(json.dumps(summary, indent=2))
+        os.makedirs(args.output_dir, exist_ok=True)
+        with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
     else:
-        raise SystemExit(f"scenario {args.scenario} not implemented yet")
+        raise SystemExit(f"unknown scenario {args.scenario}")
 
 
 if __name__ == "__main__":

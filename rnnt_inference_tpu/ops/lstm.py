@@ -32,14 +32,17 @@ def lstm_cell(
     Gate order (i, f, g, o) matches torch so checkpoints import unchanged.
     Returns (h', c') with c' in f32.
     """
+    from rnnt_inference_tpu.ops.activations import gate_fns
+
+    sigmoid, tanh = gate_fns()
     gates = xw + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
     i, f, g, o = jnp.split(gates, 4, axis=-1)
-    i = jax.nn.sigmoid(i)
-    f = jax.nn.sigmoid(f)
-    g = jnp.tanh(g)
-    o = jax.nn.sigmoid(o)
+    i = sigmoid(i)
+    f = sigmoid(f)
+    g = tanh(g)
+    o = sigmoid(o)
     c_new = f * c.astype(jnp.float32) + i * g
-    h_new = o * jnp.tanh(c_new)
+    h_new = o * tanh(c_new)
     return h_new, c_new
 
 

@@ -50,12 +50,15 @@ def _lstm_scan_kernel(taxis):
         h_s[:] = h0_ref[:]
         c_s[:] = c0_ref[:]
 
+    from rnnt_inference_tpu.ops.activations import gate_fns
+
+    sigmoid, tanh = gate_fns()
     gates = xw_ref[0].astype(jnp.float32) + jnp.dot(
         h_s[:], whh_ref[:], preferred_element_type=jnp.float32
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c_s[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c_new = sigmoid(f) * c_s[:] + sigmoid(i) * tanh(g)
+    h_new = sigmoid(o) * tanh(c_new)
 
     h_b = h_new.astype(h_s.dtype)
     h_s[:] = h_b

@@ -82,3 +82,42 @@ class TestSettings:
             ),
             samples_per_query=int(g("samples_per_query", 1)),
         )
+
+
+def validate_report(settings: TestSettings, report: dict) -> dict:
+    """Append a loadgen-style VALID/INVALID verdict to a run report
+    (the pass/fail block of mlperf_log_summary; reference: loadgen rules
+    applied via configs/mlperf.conf — Server gates on target_latency at
+    target_latency_percentile, every scenario gates on min_duration and
+    min_query_count).
+
+    `report` needs: completed, wall_seconds, and latency_ms_p{50,90,99} for
+    latency-bound scenarios.  Returns a new dict with `result_validity` and
+    `invalid_reasons` added.
+    """
+    reasons = []
+    completed = report.get("completed", report.get("samples", 0))
+    wall = report.get("wall_seconds", 0.0)
+    if completed < settings.min_query_count:
+        reasons.append(
+            f"min_query_count not met: {completed} < {settings.min_query_count}"
+        )
+    if wall * 1e3 < settings.min_duration_ms:
+        reasons.append(
+            f"min_duration not met: {wall*1e3:.0f} ms < {settings.min_duration_ms:.0f} ms"
+        )
+    if settings.scenario in ("Server", "SingleStream"):
+        pct = settings.target_latency_percentile
+        key = f"latency_ms_p{int(pct)}"
+        lat = report.get(key)
+        if lat is None:
+            reasons.append(f"missing {key} in report")
+        elif settings.scenario == "Server" and lat > settings.target_latency_ms:
+            reasons.append(
+                f"p{int(pct)} latency {lat:.1f} ms > target "
+                f"{settings.target_latency_ms:.0f} ms"
+            )
+    out = dict(report)
+    out["result_validity"] = "VALID" if not reasons else "INVALID"
+    out["invalid_reasons"] = reasons
+    return out

@@ -51,6 +51,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_double,
             ctypes.c_int,
             ctypes.c_uint64,
+            ctypes.c_int64,
+            ctypes.c_double,
         ]
         lib.lg_destroy.argtypes = [ctypes.c_void_p]
         lib.lg_poll.restype = ctypes.c_int
@@ -61,51 +63,81 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
         ]
         lib.lg_complete.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-        lib.lg_completed.restype = ctypes.c_int64
-        lib.lg_completed.argtypes = [ctypes.c_void_p]
-        lib.lg_pending.restype = ctypes.c_int64
-        lib.lg_pending.argtypes = [ctypes.c_void_p]
+        for name in ("lg_completed", "lg_issued", "lg_pending", "lg_done_issuing",
+                     "lg_n_samples"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
         lib.lg_report.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
         _lib = lib
         return _lib
 
 
 class NativeLoadGen:
-    """Poisson issue thread + native latency recorder.
+    """Native issue thread + latency recorder.
 
-    mode: "Server" (Poisson at target_qps) or "Offline" (all at t=0).
+    mode: "Server" (Poisson at target_qps), "Offline" (all at t=0), or
+    "SingleStream" (issue-after-complete).  Queries loop over the sample set:
+    query q refers to sample q % n_samples (`sample_of`).  The issuer honors
+    min_query_count AND min_duration together, like loadgen's rules.
     """
 
-    MODES = {"Server": 0, "Offline": 1}
+    MODES = {"Server": 0, "Offline": 1, "SingleStream": 2}
 
     def __init__(
-        self, n_samples: int, target_qps: float, mode: str = "Server", seed: int = 0
+        self,
+        n_samples: int,
+        target_qps: float,
+        mode: str = "Server",
+        seed: int = 0,
+        min_query_count: int = 0,
+        min_duration_s: float = 0.0,
     ):
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native loadgen unavailable (no g++?)")
         self._lib = lib
-        self._h = lib.lg_create(n_samples, target_qps, self.MODES[mode], seed)
+        self._h = lib.lg_create(
+            n_samples, target_qps, self.MODES[mode], seed,
+            min_query_count, min_duration_s,
+        )
         self.n = n_samples
 
+    def sample_of(self, query_id: int) -> int:
+        return query_id % self.n
+
     def poll(self, max_n: int = 64, timeout_us: int = 1000) -> List[int]:
+        """Pull up to max_n pending QUERY ids."""
         buf = (ctypes.c_int64 * max_n)()
         k = self._lib.lg_poll(self._h, buf, max_n, timeout_us)
         return [int(buf[i]) for i in range(k)]
 
-    def complete(self, sample_id: int) -> None:
-        self._lib.lg_complete(self._h, sample_id)
+    def complete(self, query_id: int) -> None:
+        self._lib.lg_complete(self._h, query_id)
 
     @property
     def completed(self) -> int:
         return int(self._lib.lg_completed(self._h))
 
     @property
+    def issued(self) -> int:
+        return int(self._lib.lg_issued(self._h))
+
+    @property
     def pending(self) -> int:
         return int(self._lib.lg_pending(self._h))
 
+    @property
+    def done_issuing(self) -> bool:
+        return bool(self._lib.lg_done_issuing(self._h))
+
+    @property
+    def drained(self) -> bool:
+        """All issued queries completed and the issuer has finished."""
+        return self.done_issuing and self.completed >= self.issued
+
     def report(self) -> dict:
-        out = (ctypes.c_double * 8)()
+        out = (ctypes.c_double * 9)()
         self._lib.lg_report(self._h, out)
         return dict(
             completed=int(out[0]),
@@ -116,6 +148,7 @@ class NativeLoadGen:
             latency_ms_max=round(out[5], 2),
             wall_seconds=round(out[6], 3),
             qps=round(out[7], 2),
+            issued=int(out[8]),
         )
 
     def close(self) -> None:

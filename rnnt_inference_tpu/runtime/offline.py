@@ -40,14 +40,48 @@ class OfflineRunner:
         cfg: FeaturizerConfig = FeaturizerConfig(),
         batch_size: int = 128,
         split_len: int = -1,
+        mesh=None,
     ):
-        self.weights = weights
+        """mesh: optional jax.sharding.Mesh with a "data" axis — weights are
+        replicated across it and every batch shards its N axis over "data"
+        (multi-chip data-parallel Offline; the reference scales the same
+        work over instance threads instead, csrc/torch_sut.cpp:104-121)."""
         self.params = params
         self.cfg = cfg
         self.batch_size = batch_size
         self.split_len = split_len
+        self.mesh = mesh
 
-        @functools.partial(jax.jit, static_argnames=())
+        jit_kw = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from rnnt_inference_tpu.parallel.mesh import weight_shardings
+
+            dp = mesh.shape["data"]
+            assert batch_size % dp == 0, (
+                f"batch_size {batch_size} not divisible by data-parallel "
+                f"degree {dp}"
+            )
+            wspec = weight_shardings(mesh, weights, tensor_parallel=False)
+            weights = jax.device_put(weights, wspec)
+            row = NamedSharding(mesh, P("data"))
+            mat = NamedSharding(mesh, P("data", None))
+            self._shardings = dict(
+                pipeline=dict(in_shardings=(wspec, mat, row),
+                              out_shardings=(mat, row)),
+                decode=dict(
+                    in_shardings=(wspec, NamedSharding(mesh, P(None, "data", None)), row),
+                    out_shardings=(mat, row),
+                ),
+                pipeline_i16=dict(in_shardings=(wspec, mat, row),
+                                  out_shardings=mat),
+            )
+        else:
+            self._shardings = dict(pipeline={}, decode={}, pipeline_i16={})
+        self.weights = weights
+
+        @functools.partial(jax.jit, **self._shardings["pipeline"])
         def _pipeline(weights, wav, wav_lens):
             feats, feat_lens = log_mel_features(wav, wav_lens, cfg)
             return greedy_decode(
@@ -56,7 +90,7 @@ class OfflineRunner:
 
         self._pipeline = _pipeline
 
-        @functools.partial(jax.jit, static_argnames=())
+        @functools.partial(jax.jit, **self._shardings["decode"])
         def _decode(weights, feats, feat_lens):
             return greedy_decode(
                 weights, feats, feat_lens, params=params, split_len=split_len
@@ -64,7 +98,7 @@ class OfflineRunner:
 
         self._decode = _decode
 
-        @functools.partial(jax.jit, static_argnames=())
+        @functools.partial(jax.jit, **self._shardings["pipeline_i16"])
         def _pipeline_i16(weights, wav_i16, wav_lens):
             wav = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
             feats, feat_lens = log_mel_features(wav, wav_lens, cfg)

@@ -3,12 +3,20 @@
 A self-contained replacement for the mlperf loadgen's Server mode (the
 reference links the real loadgen, csrc/main.cpp:130): Poisson arrivals at a
 target QPS, a FIFO issue queue, per-sample completion latency, and the
-p50/p90/p99 summary the reference's target_latency check gates on
-(configs/mlperf.conf:48,56 -> 1000 ms @ p99).
+p50/p90/p99 summary plus a VALID/INVALID verdict the reference's
+target_latency check gates on (configs/mlperf.conf:48,56 -> 1000 ms @ p99).
 
 QoS deferral reproduced: samples longer than qos_len waveform samples are
 parked and only served after the main stream drains
 (reference: csrc/torch_sut.cpp:384-417).
+
+response_size reproduced: finished slots are accumulated and responded in
+groups of at least `response_size` (the reference's stop_size_ batching,
+csrc/metadata.cpp:158-162, torch_sut.cpp:542-571) — except when the tail is
+draining or the slot pool is starved, where waiting would deadlock/stall.
+
+Queries loop over the sample set (query q -> sample q % n) so
+min_query_count/min_duration from the conf are honored like loadgen's rules.
 """
 
 from __future__ import annotations
@@ -64,17 +72,25 @@ def run_server(
     qos_len: int = 233500,
     max_wall_s: float = 600.0,
     realtime: bool = True,
+    response_size: int = 1,
+    min_query_count: int = 0,
+    min_duration_s: float = 0.0,
+    inflight_window: int = 1,
 ) -> Tuple[ServerMetrics, Dict[int, np.ndarray]]:
     """Drive the slot pipeline against a Poisson arrival trace.
 
     realtime=True honors wall-clock arrival times (true Server latency
     measurement); realtime=False issues as fast as the pipeline accepts
-    (functional/throughput testing).
-    Returns (metrics, {sample_idx: tokens}).
+    (functional/throughput testing; latencies then measure pipeline
+    residency from actual issue, one clock for every sample).
+    Returns (metrics, {query_id: tokens}); query q is sample q % len(store).
     """
     n = len(store)
+    n_queries = max(n, min_query_count)
     order = sample_order if sample_order is not None else np.arange(n)
-    arrivals = poisson_schedule(n, target_qps, seed)
+    arrivals = poisson_schedule(
+        max(n_queries, int(target_qps * min_duration_s) + 1), target_qps, seed
+    )
 
     metrics = ServerMetrics()
     results: Dict[int, np.ndarray] = {}
@@ -84,56 +100,85 @@ def run_server(
     t_start = time.time()
     next_i = 0
     finished_backlog: List[int] = []
+    inflight: List[np.ndarray] = []  # device-resident finished masks
+
+    def total_queries() -> int:
+        # issue until count AND duration rules are both satisfied
+        nq = n_queries
+        while nq < len(arrivals) and arrivals[nq - 1] < min_duration_s:
+            nq += 1
+        return nq
+
+    nq = total_queries()
+
+    def sample_of(q: int) -> int:
+        return int(order[q % n])
 
     def respond(pairs):
         now = time.time()
-        for sample_id, tokens in pairs:
-            results[sample_id] = tokens
-            metrics.latencies_ms[sample_id] = (now - issue_times[sample_id]) * 1e3
+        for query_id, tokens in pairs:
+            results[query_id] = tokens
+            metrics.latencies_ms[query_id] = (now - issue_times[query_id]) * 1e3
             metrics.completed += 1
 
-    while metrics.completed < n and (time.time() - t_start) < max_wall_s:
+    def drain_inflight(force: bool) -> None:
+        # responses wait for >= response_size finished slots unless forced
+        # (tail drain / slot starvation), per the reference's stop_size_
+        while inflight:
+            finished = np.nonzero(np.asarray(inflight.pop(0)))[0]
+            finished_backlog.extend(int(s) for s in finished)
+        tail = next_i >= nq and not deferred
+        starved = not runner.free_slots
+        if finished_backlog and (
+            force or tail or starved or len(finished_backlog) >= response_size
+        ):
+            respond(runner.extract(finished_backlog))
+            finished_backlog.clear()
+
+    while metrics.completed < nq and (time.time() - t_start) < max_wall_s:
         now = time.time() - t_start
         # 1. admit due arrivals into free slots (QoS: defer over-long samples)
         batch: List[int] = []
         while (
-            next_i < n
+            next_i < nq
             and (not realtime or arrivals[next_i] <= now)
             and len(batch) < runner.insert_batch
             and len(batch) < len(runner.free_slots)
         ):
-            idx = int(order[next_i])
+            q = next_i
             next_i += 1
-            if store.samples[idx].shape[0] > qos_len:
-                deferred.append(idx)
-                issue_times[idx] = t_start + arrivals[next_i - 1]
+            stamp = t_start + arrivals[q] if realtime else time.time()
+            issue_times[q] = stamp
+            if store.samples[sample_of(q)].shape[0] > qos_len:
+                deferred.append(q)
                 continue
-            batch.append(idx)
-            issue_times[idx] = t_start + arrivals[next_i - 1] if realtime else time.time()
+            batch.append(q)
         # drain deferred QoS samples once the main stream is exhausted
-        if next_i >= n and not batch and deferred:
+        if next_i >= nq and not batch and deferred:
             while deferred and len(batch) < min(
                 runner.insert_batch, len(runner.free_slots)
             ):
-                batch.append(deferred.pop(0))
+                q = deferred.pop(0)
+                if not realtime:
+                    issue_times[q] = time.time()
+                batch.append(q)
         if batch:
-            runner.insert_samples([store.samples[i] for i in batch], batch)
+            runner.insert_samples([store.samples[sample_of(q)] for q in batch], batch)
             metrics.issued += len(batch)
 
-        # 2. one streaming step if anything is active
+        # 2. streaming steps: dispatch WITHOUT an intervening readback so the
+        # insert's featurize+scatter and the step overlap in the device queue
         if runner.n_active:
-            finished = runner.step()
-            finished_backlog.extend(int(s) for s in finished)
-        elif next_i < n and realtime:
+            inflight.append(runner.step_async())
+        elif next_i < nq and realtime and not inflight:
             # idle until the next arrival
             wait = arrivals[next_i] - (time.time() - t_start)
             if wait > 0:
                 time.sleep(min(wait, 0.01))
 
-        # 3. early response of finished slots
-        if finished_backlog:
-            respond(runner.extract(finished_backlog))
-            finished_backlog.clear()
+        # 3. read back finish masks and respond in response_size groups
+        if len(inflight) >= inflight_window or not runner.n_active:
+            drain_inflight(force=not runner.n_active and next_i >= nq)
 
     metrics.wall_seconds = time.time() - t_start
     return metrics, results
@@ -147,49 +192,64 @@ def run_server_native(
     qos_len: int = 233500,
     max_wall_s: float = 600.0,
     pipeline_depth: int = 16,
+    response_size: int = 1,
+    min_query_count: int = 0,
+    min_duration_s: float = 0.0,
 ) -> Tuple[dict, Dict[int, np.ndarray]]:
     """Server run driven by the native mini-loadgen (csrc/rnnt_loadgen.cpp):
     a C++ thread issues Poisson arrivals on a steady clock and completions
     are timestamped natively, so latency numbers are free of Python jitter.
+    Latency is charged from the scheduled arrival (loadgen semantics).
 
-    Returns (native latency report dict, {sample_idx: tokens}).
+    Returns (native latency report dict, {query_id: tokens}).
     """
-    import collections
     import time as _time
 
     from rnnt_inference_tpu.runtime.native import NativeLoadGen
 
     n = len(store)
-    lg = NativeLoadGen(n, target_qps, mode="Server", seed=seed)
+    lg = NativeLoadGen(
+        n, target_qps, mode="Server", seed=seed,
+        min_query_count=min_query_count, min_duration_s=min_duration_s,
+    )
     results: Dict[int, np.ndarray] = {}
     deferred: List[int] = []
-    inflight: collections.deque = collections.deque()  # device finished masks
+    inflight: List = []  # device finished masks
+    finished_backlog: List[int] = []
     t_start = _time.time()
 
-    def drain_one():
-        finished = np.nonzero(np.asarray(inflight.popleft()))[0]
-        if len(finished):
-            for sample_id, tokens in runner.extract(finished):
-                results[sample_id] = tokens
-                if sample_id >= 0:
-                    lg.complete(sample_id)
+    def drain_one(force: bool):
+        finished = np.nonzero(np.asarray(inflight.pop(0)))[0]
+        finished_backlog.extend(int(s) for s in finished)
+        tail = lg.done_issuing and lg.pending == 0 and not deferred
+        starved = not runner.free_slots
+        if finished_backlog and (
+            force or tail or starved or len(finished_backlog) >= response_size
+        ):
+            for query_id, tokens in runner.extract(finished_backlog):
+                results[query_id] = tokens
+                if query_id >= 0:
+                    lg.complete(query_id)
+            finished_backlog.clear()
 
     try:
-        while lg.completed < n and (_time.time() - t_start) < max_wall_s:
+        while not lg.drained and (_time.time() - t_start) < max_wall_s:
             # 1. admit arrivals into free slots
             room = min(runner.insert_batch, len(runner.free_slots))
             batch: List[int] = []
             if room:
-                for idx in lg.poll(max_n=room, timeout_us=500):
-                    if store.samples[idx].shape[0] > qos_len:
-                        deferred.append(idx)
+                for q in lg.poll(max_n=room, timeout_us=500):
+                    if store.samples[lg.sample_of(q)].shape[0] > qos_len:
+                        deferred.append(q)
                     else:
-                        batch.append(idx)
+                        batch.append(q)
             if lg.pending == 0 and not batch and deferred and runner.n_active == 0:
                 while deferred and len(batch) < room:
                     batch.append(deferred.pop(0))
             if batch:
-                runner.insert_samples([store.samples[i] for i in batch], batch)
+                runner.insert_samples(
+                    [store.samples[lg.sample_of(q)] for q in batch], batch
+                )
 
             # 2. dispatch steps ahead; read back finish masks lazily and in
             # BURSTS: on relayed backends a readback is a global sync with
@@ -210,8 +270,9 @@ def run_server_native(
                     target = 0  # starved for slots / tail: drain everything
                 else:
                     target = len(inflight)
+                force = not runner.n_active and lg.pending == 0 and lg.done_issuing
                 while len(inflight) > target:
-                    drain_one()
+                    drain_one(force)
         report = lg.report()
     finally:
         lg.close()

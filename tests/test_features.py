@@ -65,6 +65,12 @@ def torch_ref_features(x_np, lens_np, cfg: FeaturizerConfig):
     fb = torch.from_numpy(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.lowfreq, cfg.fmax))
     mel = torch.log(fb @ power + 1e-20)  # (N, n_mels, T)
 
+    # zero frames past each row's frame count before splicing (models the
+    # reference's length-aware frame_splicing(x, x_lens) op: padded frames
+    # contribute zeros, not the dither-floor log-mel of silent padding)
+    t = torch.arange(mel.shape[2])[None, None, :]
+    mel = torch.where(t < frame_lens[:, None, None], mel, torch.zeros(()))
+
     # frame splicing x3 (reference splice_frames)
     seq = [mel]
     for n in range(1, cfg.frame_splicing):

@@ -80,3 +80,73 @@ def test_server_e2e_with_native_loadgen():
     assert report["completed"] == 5
     for i in range(5):
         assert seq_to_sen(results[i], len(results[i])) == offline.hypotheses[i]
+
+
+def test_single_stream_mode_issue_after_complete():
+    """Mode 2: the next query is issued only after the previous completes."""
+    n = 10
+    lg = NativeLoadGen(n, target_qps=0.0, mode="SingleStream")
+    got = []
+    t0 = time.time()
+    while len(got) < n and time.time() - t0 < 10:
+        ids = lg.poll(max_n=8, timeout_us=100000)
+        # issue-after-complete: never more than one query outstanding
+        assert len(ids) <= 1
+        for q in ids:
+            time.sleep(0.002)
+            lg.complete(q)
+        got.extend(ids)
+    assert got == list(range(n))
+    rep = lg.report()
+    assert rep["completed"] == n
+    assert rep["latency_ms_p50"] >= 2.0  # the sleep is the floor
+    lg.close()
+
+
+def test_min_query_count_loops_sample_set():
+    """min_query_count > n_samples cycles queries over the set (loadgen rule)."""
+    lg = NativeLoadGen(4, target_qps=0.0, mode="Offline", min_query_count=10)
+    got = []
+    while len(got) < 10:
+        got.extend(lg.poll(max_n=16, timeout_us=100000))
+    assert sorted(got) == list(range(10))
+    assert [lg.sample_of(q) for q in sorted(got)] == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+    for q in got:
+        lg.complete(q)
+    assert lg.drained
+    lg.close()
+
+
+def test_server_min_duration_keeps_issuing():
+    """Server mode keeps issuing past min_query_count until min_duration."""
+    lg = NativeLoadGen(
+        2, target_qps=200.0, mode="Server", min_query_count=1, min_duration_s=0.2
+    )
+    got = []
+    t0 = time.time()
+    while not lg.done_issuing and time.time() - t0 < 5:
+        got.extend(lg.poll(max_n=16, timeout_us=20000))
+    got.extend(lg.poll(max_n=64, timeout_us=20000))
+    # ~200 qps for >= 0.2 s => ~40 queries, far more than min_query_count
+    assert len(got) >= 10
+    for q in got:
+        lg.complete(q)
+    lg.close()
+
+
+def test_server_latency_charged_from_scheduled_arrival():
+    """Under overload (consumer stalls), latency must grow by the stall even
+    though the queue backpressures the issuer: charged from scheduled time."""
+    n = 50
+    lg = NativeLoadGen(n, target_qps=5000.0, mode="Server", seed=3)
+    time.sleep(0.3)  # everything is scheduled within ~10 ms; let it pile up
+    got = []
+    t0 = time.time()
+    while len(got) < n and time.time() - t0 < 5:
+        got.extend(lg.poll(max_n=64, timeout_us=50000))
+    for q in got:
+        lg.complete(q)
+    rep = lg.report()
+    # completions happened ~300 ms after the ~10 ms schedule
+    assert rep["latency_ms_p50"] > 200.0
+    lg.close()

@@ -145,3 +145,51 @@ def test_offline_precomputed_features_store():
 
     rep = run_offline(w, feat_store, SMALL, CFG, batch_size=2, warmup=False)
     assert rep.hypotheses == ref.hypotheses
+
+
+def test_features_store_converter_roundtrip():
+    """compute_features_store (the converter's --features path) must produce
+    a store whose Offline hypotheses match waveform mode AND match
+    per-utterance featurization exactly (batch bucketing is transparent)."""
+    import jax.numpy as jnp
+    from rnnt_inference_tpu.data.dataset import compute_features_store
+    from rnnt_inference_tpu.ops.features import log_mel_features
+
+    wave_store = _store(5, seed=11)
+    wave_store.names = [f"utt-{i}.wav" for i in range(5)]
+    w = init_weights(jax.random.PRNGKey(4), SMALL)
+    ref = run_offline(w, wave_store, SMALL, CFG, batch_size=2, warmup=False)
+
+    feat_store = compute_features_store(wave_store, CFG, batch_size=2)
+    assert feat_store.kind == "features"
+    assert feat_store.names == wave_store.names
+
+    # exactness vs per-utterance featurization
+    fn = jax.jit(log_mel_features, static_argnames="cfg")
+    for i, s in enumerate(wave_store.samples):
+        f, fl = fn(jnp.asarray(s[None]), jnp.asarray([s.shape[0]], np.int32), CFG)
+        np.testing.assert_allclose(
+            feat_store.samples[i], np.asarray(f)[: int(fl[0]), 0, :],
+            rtol=1e-5, atol=1e-5,
+        )
+
+    rep = run_offline(w, feat_store, SMALL, CFG, batch_size=2, warmup=False)
+    assert rep.hypotheses == ref.hypotheses
+
+
+def test_calibration_file_list_filter(tmp_path):
+    from rnnt_inference_tpu.data.dataset import SampleStore
+
+    store = _store(4, seed=12)
+    store.names = ["a/1.wav", "b/2.wav", "c/3.wav", "d/4.wav"]
+    lst = tmp_path / "calib.txt"
+    lst.write_text("some-dir/2.wav\n4.wav\n")
+    sub = store.filter_by_list(str(lst))
+    assert sub.names == ["b/2.wav", "d/4.wav"]
+    assert len(sub) == 2
+    np.testing.assert_array_equal(sub.samples[0], store.samples[1])
+    # save/load keeps names
+    p = tmp_path / "s.npz"
+    sub.save(str(p))
+    back = SampleStore.load(str(p))
+    assert back.names == sub.names

@@ -64,3 +64,78 @@ def test_poisson_schedule():
     assert np.all(np.diff(arr) >= 0)
     # mean inter-arrival ~ 1/qps
     assert abs(np.diff(arr).mean() - 0.01) < 0.002
+
+
+def test_server_response_size_batching():
+    """response_size > 1: responses arrive in groups of >= response_size
+    finished slots (except the forced tail drain), and tokens still match
+    Offline exactly (the reference's stop_size_, csrc/metadata.cpp:158-162)."""
+    store = SampleStore.synthetic(
+        n=8, seed=5, min_seconds=0.3, max_seconds=0.8, mean_seconds=0.5
+    )
+    w = init_weights(jax.random.PRNGKey(0), SMALL)
+    offline = run_offline(w, store, SMALL, CFG, batch_size=4, warmup=False)
+
+    runner = ServerRunner(
+        w, SMALL, CFG, slots=8, split_len=4, max_frames=64, insert_batch=4
+    )
+    extract_sizes = []
+    orig_extract = runner.extract
+
+    def spy_extract(slots):
+        extract_sizes.append(len(slots))
+        return orig_extract(slots)
+
+    runner.extract = spy_extract
+    metrics, results = run_server(
+        runner, store, target_qps=1000.0, realtime=False, max_wall_s=120.0,
+        response_size=3,
+    )
+    assert metrics.completed == len(store)
+    for i in range(len(store)):
+        hyp = seq_to_sen(results[i], len(results[i]))
+        assert hyp == offline.hypotheses[i], f"sample {i} mismatch"
+    # every response except the tail-drain ones carries >= response_size slots
+    assert extract_sizes, "no responses recorded"
+    assert any(s >= 3 for s in extract_sizes)
+    assert all(s >= 3 for s in extract_sizes[:-2])
+
+
+def test_server_min_query_count_loops():
+    """min_query_count > n loops queries over the sample set."""
+    store = SampleStore.synthetic(
+        n=3, seed=6, min_seconds=0.3, max_seconds=0.6, mean_seconds=0.4
+    )
+    w = init_weights(jax.random.PRNGKey(1), SMALL)
+    runner = ServerRunner(
+        w, SMALL, CFG, slots=4, split_len=4, max_frames=48, insert_batch=2
+    )
+    metrics, results = run_server(
+        runner, store, target_qps=1000.0, realtime=False, max_wall_s=120.0,
+        min_query_count=7,
+    )
+    assert metrics.completed == 7
+    # query q decodes sample q % 3: same tokens
+    for q in range(7):
+        np.testing.assert_array_equal(results[q], results[q % 3])
+
+
+def test_validate_report_verdict():
+    from rnnt_inference_tpu.runtime.config import TestSettings, validate_report
+
+    st = TestSettings(scenario="Server", target_latency_ms=1000.0,
+                      target_latency_percentile=99.0, min_duration_ms=1000.0,
+                      min_query_count=10)
+    good = dict(completed=20, wall_seconds=2.0, latency_ms_p50=5.0,
+                latency_ms_p90=8.0, latency_ms_p99=900.0)
+    out = validate_report(st, good)
+    assert out["result_validity"] == "VALID" and not out["invalid_reasons"]
+
+    slow = dict(good, latency_ms_p99=1500.0)
+    out = validate_report(st, slow)
+    assert out["result_validity"] == "INVALID"
+    assert any("latency" in r for r in out["invalid_reasons"])
+
+    short = dict(good, wall_seconds=0.5, completed=5)
+    out = validate_report(st, short)
+    assert len(out["invalid_reasons"]) == 2
