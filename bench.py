@@ -9,8 +9,16 @@ Baseline: the reference (Intel MLPerf RNN-T, 2-socket SPR, 112 cores) targets
 the whole machine (BASELINE.md).  vs_baseline compares ONE TPU chip against
 that full 2-socket system.
 
-Env knobs: BENCH_N (samples, default 256), BENCH_BATCH (default 128),
-BENCH_SECONDS ("4,8,15" wav bucket ladder), BENCH_DTYPE (bf16|f32).
+Env knobs: BENCH_N (samples, default 8192), BENCH_BATCH (default 1024),
+BENCH_SECONDS ("4,8,15" wav bucket ladder), BENCH_DTYPE (bf16|f32|quant),
+BENCH_EMISSION (blank|uniform), BENCH_MIN_S (measured-window floor, s).
+
+BENCH_EMISSION=blank (default) biases the random joint toward blank so
+~70% of decode iterations advance time — the emission statistics of real
+speech (~1 symbol per 2-3 frames; dev-clean transcripts are ~14 chars/s
+of audio).  Unbiased random weights saturate the 30-symbols-per-frame cap
+instead, which overweights the decode loop relative to any real workload.
+BENCH_EMISSION=uniform keeps the round-1 unbiased behavior for comparison.
 """
 
 import json
@@ -40,6 +48,67 @@ BASELINE_AUDIO_S_PER_S = 46500.0
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123):
+    """Shift the joint's blank logit so the decode emits ~target_rate symbols
+    per post-stack frame (real speech: ~14 chars/s over 16.7 f-frames/s ≈
+    0.84 symbols/frame; see module docstring).
+
+    Two changes to the random joint:
+      1. the prediction projection w1_pred is scaled down 20x, so whether a
+         frame emits is decided by the FRAME features, not the prediction
+         state.  Unmodified random weights are bistable per lane (the
+         prediction LSTM falls into an attractor after the first emission
+         and the lane then emits at every frame until the cap) — no blank
+         bias can give an intermediate rate there.  Frame-decided emission
+         makes the rate a monotonic function of the blank bias.
+      2. the blank logit gets +delta, bisected on the MEASURED decode until
+         the emission rate hits target_rate.  Emitting frames burst to the
+         30-symbol cap, so the iteration count is ~(1 + rate)·T2, matching
+         real-speech decode-loop cost even though bursts are clumpier than
+         real transcripts.  The bias is a weight value, not a traced
+         constant: every bisection step reuses one compiled program.
+    """
+    import dataclasses as dc
+
+    import numpy as _np
+
+    from rnnt_inference_tpu.models.decoder import greedy_decode
+    from rnnt_inference_tpu.ops.features import log_mel_features
+
+    rng = _np.random.RandomState(seed)
+    wav = jnp.asarray((rng.randn(8, 64000) * 0.1).astype(_np.float32))
+    lens = jnp.full((8,), 64000, jnp.int32)
+    feats, flens = jax.jit(lambda a, b: log_mel_features(a, b, cfg))(wav, lens)
+    frames = float(jnp.sum(-(-flens // params.stack_time_factor)))
+
+    jw = weights.joint
+    jw = dc.replace(jw, w1_pred=(jw.w1_pred.astype(jnp.float32) * 0.05).astype(jw.w1_pred.dtype))
+    b2_f32 = jw.b2.astype(jnp.float32)
+
+    def with_delta(delta: float):
+        b2 = b2_f32.at[params.BLANK].add(delta).astype(jw.b2.dtype)
+        return dc.replace(weights, joint=dc.replace(jw, b2=b2))
+
+    def rate(delta: float) -> float:
+        _, rlens = greedy_decode(with_delta(delta), feats, flens, params=params)
+        return float(_np.sum(_np.asarray(rlens))) / frames
+
+    lo, hi = 0.0, 1.0
+    while rate(hi) > target_rate and hi < 4096:
+        lo, hi = hi, hi * 4
+    for _ in range(14):
+        mid = 0.5 * (lo + hi)
+        if rate(mid) > target_rate:
+            lo = mid
+        else:
+            hi = mid
+    delta = 0.5 * (lo + hi)
+    r = rate(delta)
+    log(f"blank-bias calibration: delta={delta:.4f} -> {r:.2f} symbols/frame "
+        f"(target {target_rate})")
+    return with_delta(delta)
 
 
 def main():
@@ -78,6 +147,9 @@ def main():
     else:
         weights = init_weights(jax.random.PRNGKey(0), params, dtype=dtype)
 
+    if os.environ.get("BENCH_EMISSION", "blank") == "blank":
+        weights = bias_joint_toward_blank(weights, params, cfg, target_rate=0.8)
+
     store = SampleStore.synthetic(n=n, seed=0)
     qsl = QuerySampleLibrary(store, cfg, wav_buckets_s=buckets)
     log(f"store: {n} utts, {store.audio_seconds:.0f} audio-s; "
@@ -93,7 +165,7 @@ def main():
         warmup=True,  # untimed: stage to HBM + compile bucket shapes
         device_resident=True,
         wav_buckets_s=buckets,
-        min_duration_s=float(os.environ.get("BENCH_MIN_S", "3")),
+        min_duration_s=float(os.environ.get("BENCH_MIN_S", "10")),
     )
     log(f"total incl. staging+compile (untimed portion): {time.time()-t0:.1f}s")
     log(f"run: {report.wall_seconds:.2f}s wall, "

@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--split_len", type=int, default=-1)
     p.add_argument("--server_slots", type=int, default=128)
     p.add_argument("--response_size", type=int, default=9)
+    p.add_argument("--native_loadgen", action="store_true",
+                   help="drive Server/SingleStream with the C++ mini-loadgen "
+                        "(native Poisson issue thread + latency recorder)")
     p.add_argument("--mlperf_conf", type=str, default=None)
     p.add_argument("--user_conf", type=str, default=None)
     p.add_argument("--output_dir", type=str, default="output")
@@ -196,14 +199,25 @@ def _run_scenario(args, weights, store, params, cfg):
         )
         # accuracy runs cover the set exactly once; performance runs honor
         # the conf's min_duration/min_query_count rules
-        metrics, results = run_server(
-            runner, store, target_qps=settings.target_qps,
-            realtime=not args.accuracy,
-            response_size=args.response_size,
-            min_query_count=0 if args.accuracy else settings.min_query_count,
-            min_duration_s=0.0 if args.accuracy else settings.min_duration_ms / 1e3,
-        )
-        summary = validate_report(settings, metrics.summary())
+        if args.native_loadgen and not args.accuracy:
+            from rnnt_inference_tpu.runtime.scheduler import run_server_native
+
+            report, results = run_server_native(
+                runner, store, target_qps=settings.target_qps,
+                response_size=args.response_size,
+                min_query_count=settings.min_query_count,
+                min_duration_s=settings.min_duration_ms / 1e3,
+            )
+            summary = validate_report(settings, dict(report, scenario="Server"))
+        else:
+            metrics, results = run_server(
+                runner, store, target_qps=settings.target_qps,
+                realtime=not args.accuracy,
+                response_size=args.response_size,
+                min_query_count=0 if args.accuracy else settings.min_query_count,
+                min_duration_s=0.0 if args.accuracy else settings.min_duration_ms / 1e3,
+            )
+            summary = validate_report(settings, metrics.summary())
         print(json.dumps(summary, indent=2))
         os.makedirs(args.output_dir, exist_ok=True)
         with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
@@ -223,8 +237,17 @@ def _run_scenario(args, weights, store, params, cfg):
         settings = TestSettings.from_conf(
             args.mlperf_conf, args.user_conf, "rnnt", "SingleStream"
         )
-        report = run_single_stream(weights, store, params, cfg,
-                                   split_len=args.split_len)
+        if args.native_loadgen:
+            from rnnt_inference_tpu.runtime.harness import run_single_stream_native
+
+            report = run_single_stream_native(
+                weights, store, params, cfg,
+                min_query_count=settings.min_query_count,
+                min_duration_s=settings.min_duration_ms / 1e3,
+            )
+        else:
+            report = run_single_stream(weights, store, params, cfg,
+                                       split_len=args.split_len)
         summary = validate_report(settings, report.summary())
         print(json.dumps(summary, indent=2))
         os.makedirs(args.output_dir, exist_ok=True)

@@ -66,6 +66,19 @@ def quant_lstm_layer(
     return ys, h, c
 
 
+def _pallas_eligible(layer: QuantLSTMLayerWeights, x: jax.Array) -> bool:
+    from rnnt_inference_tpu.ops import lstm as _lstm
+
+    T, N, _ = x.shape
+    H = layer.w_hh.shape[0]
+    return (
+        _lstm._LSTM_IMPL == "pallas"
+        and ((N <= 128 and N % 8 == 0) or N % 128 == 0)
+        and H % 128 == 0
+        and T >= 2
+    )
+
+
 def quant_lstm_stack(
     layers: Sequence[QuantLSTMLayerWeights],
     x: jax.Array,
@@ -76,7 +89,10 @@ def quant_lstm_stack(
     """Multi-layer int8 LSTM (the reference's fused lstm_amx_int8 contract).
 
     x: int8 {T,N,C}, or f32 (quantized here with layer 0's in_scale — the
-    pre_quantizer role, modeling_rnnt.py:72-77).
+    pre_quantizer role, modeling_rnnt.py:72-77).  Uses the Pallas int8
+    recurrence kernel (VMEM-resident int8 W_hh, fused requant) when shapes
+    allow; falls back to the XLA scan otherwise.  Both paths implement the
+    same rounding semantics, so results are identical.
     """
     if x.dtype != jnp.int8:
         x = quantize(x, layers[0].in_scale)
@@ -84,7 +100,15 @@ def quant_lstm_stack(
     y = x
     for l, layer in enumerate(layers):
         emit_f32 = skip_quant_y and l == len(layers) - 1
-        y, h, c = quant_lstm_layer(layer, y, hs_i8[l], cs[l], emit_f32)
+        if _pallas_eligible(layer, y):
+            from rnnt_inference_tpu.ops.lstm_pallas import quant_lstm_layer_pallas
+
+            y, h, c = quant_lstm_layer_pallas(
+                layer, y, hs_i8[l], cs[l], emit_f32,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            y, h, c = quant_lstm_layer(layer, y, hs_i8[l], cs[l], emit_f32)
         new_h.append(h)
         new_c.append(c)
     return y, jnp.stack(new_h), jnp.stack(new_c)

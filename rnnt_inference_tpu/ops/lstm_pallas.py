@@ -158,6 +158,154 @@ def lstm_layer_pallas(
 
 
 # ---------------------------------------------------------------------------
+# int8 recurrence kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA int8 scan was measured 3.3x SLOWER than bf16 (docs/PERFORMANCE.md):
+# per-step quantize/requant VPU work plus poor int8 dot_general lowering
+# inside lax.scan.  This kernel keeps the int8 W_hh VMEM-resident (4 MB at
+# H=1024 — half the bf16 kernel's bytes), runs int8 x int8 -> int32 on the
+# MXU, and fuses dequant + activations + requant so the recurrent hidden
+# state never leaves VMEM.  Semantics bit-match ops/lstm_int8.py
+# (reference contract: models/quant_lstm.py:92-101 lstm_amx_int8).
+
+
+def _quant_lstm_scan_kernel(taxis, emit_f32):
+  def kernel(xw_ref, whh_ref, h0_ref, c0_ref, scales_ref,
+             ys_ref, hT_ref, cT_ref,
+             h_s, c_s):
+    t = pl.program_id(taxis)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    rb = scales_ref[0, 0]        # 1 / (in_scale * w_scale)
+    in_scale = scales_ref[0, 1]  # shared x/h recurrence scale
+    out_scale = scales_ref[0, 2]
+
+    hw = jax.lax.dot_general(
+        h_s[:], whh_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    gates = (xw_ref[0] + hw).astype(jnp.float32) * rb + bias_ref_get(scales_ref)
+
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c_s[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+
+    def quantize(v, s):
+        return jnp.clip(jnp.round(v * s), -128.0, 127.0).astype(jnp.int8)
+
+    h_s[:] = quantize(h_new, in_scale)
+    c_s[:] = c_new
+    if emit_f32:
+        ys_ref[0] = h_new
+    else:
+        ys_ref[0] = quantize(h_new, out_scale)
+
+    @pl.when(t == pl.num_programs(taxis) - 1)
+    def _():
+        hT_ref[:] = h_s[:]
+        cT_ref[:] = c_s[:]
+
+  return kernel
+
+
+def bias_ref_get(scales_ref):
+    """Bias row stored alongside the scalars: scales_ref is (2, 4H) f32 with
+    row 0 = [rb, in_scale, out_scale, 0...] and row 1 = the folded bias."""
+    return scales_ref[1, :]
+
+
+@functools.partial(jax.jit, static_argnames=("emit_f32", "interpret"))
+def _quant_lstm_recurrence(
+    xw: jax.Array,      # (T, N, 4H) int32 — hoisted int8 x @ W_ih
+    w_hh: jax.Array,    # (H, 4H) int8
+    h0: jax.Array,      # (N, H) int8
+    c0: jax.Array,      # (N, H) f32
+    scales: jax.Array,  # (2, 4H) f32: [rb, in_scale, out_scale, 0...; bias]
+    emit_f32: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    T, N, H4 = xw.shape
+    H = w_hh.shape[0]
+    BN = N if N <= 128 else 128
+    assert N % BN == 0, f"batch {N} is not a multiple of the {BN} kernel tile"
+    nb = N // BN
+    if nb == 1:
+        grid = (T,)
+        xw_map = lambda t: (t, 0, 0)
+        const_map = lambda t: (0, 0)
+        tile_map = lambda t: (0, 0)
+        taxis = 0
+    else:
+        grid = (nb, T)
+        xw_map = lambda b, t: (t, b, 0)
+        const_map = lambda b, t: (0, 0)
+        tile_map = lambda b, t: (b, 0)
+        taxis = 1
+    y_dtype = jnp.float32 if emit_f32 else jnp.int8
+    kernel = pl.pallas_call(
+        _quant_lstm_scan_kernel(taxis, emit_f32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BN, H4), xw_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), const_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H4), const_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BN, H), xw_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N, H), y_dtype),
+            jax.ShapeDtypeStruct((N, H), jnp.int8),
+            jax.ShapeDtypeStruct((N, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BN, H), jnp.int8),
+            pltpu.VMEM((BN, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    ys, hT, cT = kernel(xw, w_hh, h0, c0, scales)
+    return ys, hT, cT
+
+
+def quant_lstm_layer_pallas(
+    layer,  # models.quant.QuantLSTMLayerWeights
+    x_i8: jax.Array,
+    h_i8: jax.Array,
+    c: jax.Array,
+    emit_f32: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Drop-in replacement for ops.lstm_int8.quant_lstm_layer."""
+    # hoisted int8 input projection (one MXU int8 matmul over the chunk)
+    xw = jax.lax.dot_general(
+        x_i8, layer.w_ih,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    H4 = xw.shape[-1]
+    scalars = jnp.zeros((H4,), jnp.float32)
+    scalars = scalars.at[0].set(layer.rb_scale)
+    scalars = scalars.at[1].set(layer.in_scale)
+    scalars = scalars.at[2].set(layer.out_scale)
+    scales = jnp.stack([scalars, layer.b.astype(jnp.float32)])
+    return _quant_lstm_recurrence(
+        xw, layer.w_hh, h_i8, c.astype(jnp.float32), scales,
+        emit_f32=emit_f32, interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Interleaved two-half variant: MXU/VPU overlap
 # ---------------------------------------------------------------------------
 #

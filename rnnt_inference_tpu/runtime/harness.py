@@ -152,6 +152,75 @@ def eval_accuracy_log(log_path: str, references: List[str]) -> float:
     return wer
 
 
+def run_single_stream_native(
+    weights: RNNTWeights,
+    store: SampleStore,
+    params: RNNTParams = RNNTParams(),
+    cfg: FeaturizerConfig = FeaturizerConfig(),
+    min_query_count: int = 0,
+    min_duration_s: float = 0.0,
+    warmup: bool = True,
+    max_wall_s: float = 700.0,
+) -> RunReport:
+    """SingleStream driven by the native mini-loadgen's issue-after-complete
+    mode (csrc/rnnt_loadgen.cpp mode 2): latencies timestamped natively, the
+    conf's min_query_count/min_duration rules enforced by the issuer."""
+    import jax.numpy as jnp
+
+    from rnnt_inference_tpu.runtime.native import NativeLoadGen
+
+    qsl = QuerySampleLibrary(store, cfg)
+    runner = OfflineRunner(weights, params, cfg, batch_size=1)
+    if warmup:
+        runner.warmup(qsl, waveform_mode=(store.kind == "waveform"))
+
+    lg = NativeLoadGen(
+        len(store), target_qps=0.0, mode="SingleStream",
+        min_query_count=min_query_count, min_duration_s=min_duration_s,
+    )
+    hyps: dict = {}
+    t_all = time.time()
+    audio_s = 0.0
+    try:
+        while not lg.drained and (time.time() - t_all) < max_wall_s:
+            ids = lg.poll(max_n=1, timeout_us=100000)
+            for q in ids:
+                i = lg.sample_of(q)
+                wav, lens, _ = qsl.assemble_waveforms([i])
+                res, res_lens = runner._pipeline(
+                    runner.weights, jnp.asarray(wav), jnp.asarray(lens)
+                )
+                res = np.asarray(res)
+                n_tok = int(np.asarray(res_lens)[0])
+                lg.complete(q)
+                audio_s += store.samples[i].shape[0] / 16000.0
+                if i not in hyps:
+                    hyps[i] = seq_to_sen(res[0, :n_tok].astype(np.int32), n_tok)
+        rep = lg.report()
+    finally:
+        lg.close()
+
+    wall = time.time() - t_all
+    report = RunReport(
+        scenario="SingleStream",
+        samples=rep["completed"],
+        wall_seconds=wall,
+        samples_per_second=rep["completed"] / wall if wall else 0.0,
+        audio_seconds_per_second=audio_s / wall if wall else 0.0,
+        hypotheses=[hyps[i] for i in sorted(hyps)],
+        extra={k: rep[k] for k in (
+            "latency_ms_mean", "latency_ms_p50", "latency_ms_p90",
+            "latency_ms_p99", "latency_ms_max", "completed",
+        )},
+    )
+    if any(store.transcripts) and len(hyps) == len(store):
+        wer, _, _ = word_error_rate(
+            [hyps[i] for i in range(len(store))], store.transcripts
+        )
+        report.wer = wer
+    return report
+
+
 def run_single_stream(
     weights: RNNTWeights,
     store: SampleStore,

@@ -23,7 +23,10 @@ import numpy as np
 
 
 def sync(x):
-    np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+    # read back ONE element (device-side slice first): np.asarray of a big
+    # array would drag the whole buffer through the ~43 MB/s relay
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
 
 
 def timeit(fn, arg, iters=20, warmup=2):

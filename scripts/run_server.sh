@@ -9,10 +9,11 @@ SAMPLE_FILE=${SAMPLE_FILE:-}
 SYNTHETIC=${SYNTHETIC:-512}
 SLOTS=${SLOTS:-128}
 SPLIT_LEN=${SPLIT_LEN:-24}
+RESPONSE_SIZE=${RESPONSE_SIZE:-9}
 OUTPUT_DIR=${OUTPUT_DIR:-output/server}
 
 ARGS=(--scenario Server --benchmark --server_slots "$SLOTS" \
-      --split_len "$SPLIT_LEN" --output_dir "$OUTPUT_DIR" \
+      --split_len "$SPLIT_LEN" --response_size "$RESPONSE_SIZE" --output_dir "$OUTPUT_DIR" \
       --mlperf_conf configs/mlperf.conf --user_conf configs/user.conf)
 [ -n "$MODEL" ] && ARGS+=(--model "$MODEL")
 [ -n "$QUANT" ] && ARGS+=(--quant_in "$QUANT")

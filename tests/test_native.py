@@ -150,3 +150,39 @@ def test_server_latency_charged_from_scheduled_arrival():
     # completions happened ~300 ms after the ~10 ms schedule
     assert rep["latency_ms_p50"] > 200.0
     lg.close()
+
+
+def test_single_stream_e2e_native():
+    """SingleStream through the full runner, paced by the native loadgen."""
+    import jax
+
+    from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+    from rnnt_inference_tpu.data.dataset import SampleStore
+    from rnnt_inference_tpu.models.weights import init_weights
+    from rnnt_inference_tpu.runtime.harness import (
+        run_offline,
+        run_single_stream_native,
+    )
+
+    SMALL = RNNTParams(
+        trans_input_size=240,
+        trans_hidden_size=64,
+        pred_hidden_size=32,
+        joint_hidden_size=32,
+        max_res_len=128,
+    )
+    cfg = FeaturizerConfig()
+    store = SampleStore.synthetic(
+        n=3, seed=8, min_seconds=0.3, max_seconds=0.8, mean_seconds=0.5
+    )
+    w = init_weights(jax.random.PRNGKey(5), SMALL)
+    offline = run_offline(w, store, SMALL, cfg, batch_size=2, warmup=False)
+
+    # min_query_count loops the 3-sample set to 5 queries
+    report = run_single_stream_native(
+        w, store, SMALL, cfg, min_query_count=5, warmup=False
+    )
+    s = report.summary()
+    assert s["completed"] == 5
+    assert s["latency_ms_p90"] >= s["latency_ms_p50"] > 0
+    assert report.hypotheses == offline.hypotheses

@@ -88,3 +88,86 @@ def test_pallas_batch_tiled():
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(c_pl), np.asarray(c_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_quant_pallas_matches_xla_int8():
+    """int8 Pallas recurrence kernel == XLA int8 scan, bit-exact (same
+    rounding semantics; interpret mode on CPU)."""
+    import jax.numpy as jnp
+    from rnnt_inference_tpu.config import RNNTParams
+    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+    from rnnt_inference_tpu.models.weights import init_weights
+    from rnnt_inference_tpu.ops.lstm_int8 import quant_lstm_layer, quantize
+    from rnnt_inference_tpu.ops.lstm_pallas import quant_lstm_layer_pallas
+
+    params = RNNTParams(
+        trans_input_size=240,
+        trans_hidden_size=128,
+        pred_hidden_size=32,
+        joint_hidden_size=32,
+        max_res_len=64,
+    )
+    w = init_weights(jax.random.PRNGKey(0), params)
+    T, N = 6, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, N, params.trans_input_size))
+    lens = jnp.full((N,), T, jnp.int32)
+    calib = calibrate(w, [(x, lens)], params)
+    qw = quantize_weights(w, calib, params, compute_dtype=jnp.float32)
+
+    for li, emit_f32 in ((0, False), (1, True)):
+        layer = qw.pre_rnn[li]
+        x_i8 = quantize(x[:, :, : layer.w_ih.shape[0]], layer.in_scale)
+        h0 = jnp.zeros((N, 128), jnp.int8)
+        c0 = jnp.zeros((N, 128), jnp.float32)
+        y_ref, h_ref, c_ref = jax.jit(
+            quant_lstm_layer, static_argnames="emit_f32"
+        )(layer, x_i8, h0, c0, emit_f32)
+        y_pal, h_pal, c_pal = quant_lstm_layer_pallas(
+            layer, x_i8, h0, c0, emit_f32, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(h_pal), np.asarray(h_ref))
+        if emit_f32:
+            np.testing.assert_allclose(
+                np.asarray(y_pal), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+            )
+        else:
+            np.testing.assert_array_equal(np.asarray(y_pal), np.asarray(y_ref))
+        np.testing.assert_allclose(
+            np.asarray(c_pal), np.asarray(c_ref), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_quant_stack_pallas_dispatch_matches():
+    """quant_lstm_stack with pallas enabled == with xla, end to end."""
+    import jax.numpy as jnp
+    from rnnt_inference_tpu.config import RNNTParams
+    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+    from rnnt_inference_tpu.models.weights import init_weights
+    from rnnt_inference_tpu.ops.lstm import set_lstm_impl
+    from rnnt_inference_tpu.ops.lstm_int8 import quant_lstm_stack
+
+    params = RNNTParams(
+        trans_input_size=240,
+        trans_hidden_size=128,
+        pred_hidden_size=32,
+        joint_hidden_size=32,
+        max_res_len=64,
+    )
+    w = init_weights(jax.random.PRNGKey(3), params)
+    T, N = 5, 8
+    x = jax.random.normal(jax.random.PRNGKey(4), (T, N, params.trans_input_size))
+    lens = jnp.full((N,), T, jnp.int32)
+    calib = calibrate(w, [(x, lens)], params)
+    qw = quantize_weights(w, calib, params, compute_dtype=jnp.float32)
+    hs = jnp.zeros((2, N, 128), jnp.int8)
+    cs = jnp.zeros((2, N, 128), jnp.float32)
+
+    try:
+        set_lstm_impl("xla")
+        y_x, h_x, c_x = quant_lstm_stack(qw.pre_rnn, x, hs, cs, True)
+        set_lstm_impl("pallas")
+        y_p, h_p, c_p = quant_lstm_stack(qw.pre_rnn, x, hs, cs, True)
+    finally:
+        set_lstm_impl("xla")
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_x))
