@@ -66,6 +66,97 @@ def init_decode_state(
     )
 
 
+# Which decode-step implementation greedy_decode_chunk uses: "xla" (the
+# while_loop body below) or "pallas" (ops/decode_pallas.py fused-step
+# kernel).  Trace-time switch, same contract as ops.lstm._LSTM_IMPL.
+import os as _os
+
+_DECODE_IMPL = _os.environ.get("RNNT_DECODE_IMPL", "xla")
+
+
+def set_decode_impl(impl: str) -> None:
+    global _DECODE_IMPL
+    assert impl in ("xla", "pallas")
+    _DECODE_IMPL = impl
+
+
+def _pallas_decode_eligible(weights, N: int) -> bool:
+    return (
+        _DECODE_IMPL == "pallas"
+        and N % 8 == 0
+        and (N <= 256 or N % 256 == 0)
+    )
+
+
+def _greedy_decode_chunk_pallas(
+    weights: RNNTWeights,
+    state: DecodeState,
+    f: jax.Array,
+    f_lens: jax.Array,
+    params: RNNTParams,
+) -> DecodeState:
+    """Pallas fused-step variant of the symbol loop: per iteration ONE
+    kernel launch + the fproj gather + the res scatter (ops/decode_pallas.py
+    has the design notes).  Token-identical to the XLA body."""
+    from rnnt_inference_tpu.ops import decode_pallas as dp
+
+    T2, N, _ = f.shape
+    interpret = jax.default_backend() == "cpu"
+    eos_idx = jnp.maximum(f_lens - 1, 0)
+    finish0 = f_lens == 0
+    batch_arange = jnp.arange(N, dtype=jnp.int32)
+    max_iters = T2 * (params.max_symbols_per_step + 1) + 1
+
+    jw = weights.joint
+    fproj = jnp.dot(
+        f.astype(jw.w1_trans.dtype), jw.w1_trans, preferred_element_type=jnp.float32
+    )  # (T2, N, J) f32
+    pw = dp._pad_pred_weights(weights, params)
+    P = params.pred_hidden_size
+
+    col = lambda v: v.astype(jnp.int32)[:, None]
+
+    def cond(carry):
+        (_, _, _, _, _, _, _, finish, it) = carry
+        return jnp.logical_and(~jnp.all(finish != 0), it < max_iters)
+
+    def body(carry):
+        (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it) = carry
+        fi_proj = jnp.take_along_axis(fproj, time_idx[None], axis=0)[0]
+        lanes, hg, cg = dp.decode_step_pallas(
+            fi_proj,
+            (pre_g, time_idx, symbols_added, res_idx, finish,
+             col(f_lens), col(eos_idx)),
+            hg, cg, pw, params, interpret=interpret,
+        )
+        pre_g, time_idx, symbols_added, res_idx, finish, write_idx, symbols = lanes
+        res = res.at[batch_arange, write_idx[:, 0]].set(
+            symbols[:, 0].astype(res.dtype), mode="drop"
+        )
+        return (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it + 1)
+
+    carry0 = (
+        state.res,
+        col(state.res_idx),
+        col(state.pre_g),
+        dp.pad_state(state.hg, P),
+        dp.pad_state(state.cg, P),
+        jnp.zeros((N, 1), jnp.int32),
+        jnp.zeros((N, 1), jnp.int32),
+        col(finish0),
+        jnp.int32(0),
+    )
+    res, res_idx, pre_g, hg, cg, *_ = jax.lax.while_loop(cond, body, carry0)
+    return DecodeState(
+        enc=state.enc,
+        res=res,
+        res_idx=res_idx[:, 0],
+        pre_g=pre_g[:, 0],
+        hg=dp.unpad_state(hg, P),
+        cg=dp.unpad_state(cg, P),
+    )
+
+
 def greedy_decode_chunk(
     weights: RNNTWeights,
     state: DecodeState,
@@ -77,6 +168,8 @@ def greedy_decode_chunk(
 
     f: {T2, N, 1024} encoder output, f_lens: {N} valid POST-stack frames.
     """
+    if _pallas_decode_eligible(weights, f.shape[1]):
+        return _greedy_decode_chunk_pallas(weights, state, f, f_lens, params)
     T2, N, _ = f.shape
     eos_idx = jnp.maximum(f_lens - 1, 0)
     finish0 = f_lens == 0

@@ -139,16 +139,18 @@ class DeviceQSL:
     the original sample index per row (-1 for padding rows).
     """
 
+    # tails cascade down power-of-two batch shapes to this floor: dead
+    # (zero-length) padding rows per bucket drop from <=tail-1 at a fixed
+    # tail size to <=MIN_TILE-1, at the cost of a few extra compiled
+    # shapes (each is persistent-cached)
+    MIN_TILE = 32
+
     def __init__(self, qsl: QuerySampleLibrary, batch_size: int, indices=None):
         import jax
 
         if indices is None:
             indices = np.arange(len(qsl))
         self.batch_size = batch_size
-        # each bucket's tail runs at a smaller batch shape so row padding
-        # costs <= tail_batch-1 zero-length lanes instead of batch_size-1
-        # (zero-length lanes still pay full encoder compute)
-        self.tail_batch = 256 if batch_size % 256 == 0 else batch_size
         order = qsl.sort_desc(indices)
 
         # group rows by bucket (sorted desc => contiguous runs per bucket)
@@ -158,9 +160,13 @@ class DeviceQSL:
             S = qsl.wav_bucket_for(min(s.shape[0], qsl.wav_buckets[-1]))
             by_bucket.setdefault(S, []).append(int(i))
 
-        self.buckets = []  # (S, wav_dev {n,S} int16, lens_dev {n}, row_index {n})
+        tile = min(self.MIN_TILE, batch_size)
+        # batches are PRE-SPLIT at staging time: the timed Offline loop then
+        # dispatches exactly one program per batch instead of paying two
+        # extra device-slice dispatches (each a host->relay RPC) per batch
+        self._batches = []  # (wav_dev {g,S} int16, lens_dev {g}, row_index {g})
         for S, rows in sorted(by_bucket.items(), reverse=True):
-            n = -(-len(rows) // self.tail_batch) * self.tail_batch
+            n = -(-len(rows) // tile) * tile
             wav = np.zeros((n, S), np.int16)
             lens = np.zeros((n,), np.int32)
             row_index = np.full((n,), -1, np.int64)
@@ -174,30 +180,27 @@ class DeviceQSL:
                 ).astype(np.int16)
                 lens[r] = s.shape[0]
                 row_index[r] = i
-            self.buckets.append(
-                (S, jax.device_put(wav), jax.device_put(lens), row_index)
-            )
+            start = 0
+            g = batch_size
+            while start < n:
+                while g > tile and g > n - start:
+                    g //= 2
+                self._batches.append(
+                    (
+                        jax.device_put(wav[start : start + g]),
+                        jax.device_put(lens[start : start + g]),
+                        row_index[start : start + g],
+                    )
+                )
+                start += g
         # force staging to complete (untimed)
-        for _, w, l, _ri in self.buckets:
+        for _w, l, _ri in self._batches:
             np.asarray(l[:1])
 
     def batches(self):
-        """Yield (wav_i16 {B,S} device, lens {B} device, row_index {B}).
+        """Yield (wav_i16 {g,S} device, lens {g} device, row_index {g}).
 
-        Full batch_size batches first, then tail_batch-sized batches for
-        each bucket's remainder (2 compiled shapes per bucket)."""
-        B = self.batch_size
-        TB = self.tail_batch
-        for S, wav, lens, row_index in self.buckets:
-            n = wav.shape[0]
-            start = 0
-            while start + B <= n:
-                yield wav[start : start + B], lens[start : start + B], row_index[
-                    start : start + B
-                ]
-                start += B
-            while start < n:
-                yield wav[start : start + TB], lens[start : start + TB], row_index[
-                    start : start + TB
-                ]
-                start += TB
+        Full batch_size batches first, then each bucket's remainder cascades
+        down power-of-two tiles (B/2, B/4, ..., MIN_TILE): dead padding rows
+        are confined to the final <=MIN_TILE tile of each bucket."""
+        yield from self._batches

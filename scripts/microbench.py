@@ -76,14 +76,15 @@ def bench_act(N=128, H=4096, act="exact", iters=200):
     return dt
 
 
-def bench_decode(T2=250, N=512, act="exact", dtype=jnp.bfloat16):
+def bench_decode(T2=250, N=512, act="exact", dtype=jnp.bfloat16, impl="xla"):
     import dataclasses
     from rnnt_inference_tpu.config import RNNTParams
-    from rnnt_inference_tpu.models.decoder import greedy_decode
+    from rnnt_inference_tpu.models.decoder import greedy_decode, set_decode_impl
     from rnnt_inference_tpu.models.weights import init_weights
     from rnnt_inference_tpu.ops.activations import set_gate_act
 
     set_gate_act(act)
+    set_decode_impl(impl)
     jax.clear_caches()
     params = dataclasses.replace(RNNTParams(), max_res_len=512)
     w = init_weights(jax.random.PRNGKey(0), params, dtype=dtype)
@@ -98,7 +99,7 @@ def bench_decode(T2=250, N=512, act="exact", dtype=jnp.bfloat16):
         out = run(x + out[0, 0].astype(jnp.float32) * 0)
     sync(out)
     dt = (time.time() - t0) / iters
-    print(f"decode T={T2*2} N={N} act={act}: {dt*1e3:.1f} ms/batch")
+    print(f"decode T={T2*2} N={N} act={act} impl={impl}: {dt*1e3:.1f} ms/batch")
     return dt
 
 
@@ -106,6 +107,8 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "lstm"
     kw = dict(kv.split("=") for kv in sys.argv[2:])
     kw = {k: (v if k in ("impl", "act") else int(v)) for k, v in kw.items()}
+    if what == "decode" and "impl" not in kw:
+        kw["impl"] = os.environ.get("RNNT_DECODE_IMPL", "xla")
     print(f"backend={jax.default_backend()}", file=sys.stderr)
     if what == "lstm":
         bench_lstm(**kw)
