@@ -38,6 +38,77 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
     return x, sr
 
 
+# ---------------------------------------------------------------------------
+# Segment ops (functional analog of the reference's AudioSegment,
+# datasets/parts/segment.py:20-186: trim, pad, subsegment, gain)
+# ---------------------------------------------------------------------------
+
+
+def trim_silence(
+    x: np.ndarray,
+    top_db: float = 60.0,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+) -> np.ndarray:
+    """Strip leading/trailing silence: frames whose RMS is more than top_db
+    below the loudest frame are silent (the librosa.effects.trim contract the
+    reference's AudioSegment(trim=True) uses, segment.py:36-38).
+    """
+    if x.size == 0:
+        return x
+    n_frames = 1 + max(len(x) - frame_length, 0) // hop_length
+    power = np.empty(n_frames, np.float64)
+    for i in range(n_frames):
+        fr = x[i * hop_length : i * hop_length + frame_length]
+        power[i] = np.mean(fr.astype(np.float64) ** 2) if fr.size else 0.0
+    rms_db = 10.0 * np.log10(np.maximum(power, 1e-20))
+    keep = np.flatnonzero(rms_db > rms_db.max() - top_db)
+    if keep.size == 0:
+        return x[:0]
+    start = keep[0] * hop_length
+    end = min(len(x), keep[-1] * hop_length + frame_length)
+    return x[start:end]
+
+
+def pad(x: np.ndarray, pad_size: int, symmetric: bool = False) -> np.ndarray:
+    """Zero-pad the end (or both ends when symmetric), in samples
+    (reference: segment.py pad)."""
+    return np.pad(x, (pad_size if symmetric else 0, pad_size))
+
+
+def subsegment(
+    x: np.ndarray,
+    sample_rate: int,
+    start_time: float = None,
+    end_time: float = None,
+) -> np.ndarray:
+    """Cut [start_time, end_time) seconds; negative times count from the end
+    (reference: segment.py subsegment)."""
+    duration = len(x) / float(sample_rate)
+    start_time = 0.0 if start_time is None else start_time
+    end_time = duration if end_time is None else end_time
+    if start_time < 0.0:
+        start_time = duration + start_time
+    if end_time < 0.0:
+        end_time = duration + end_time
+    if not 0.0 <= start_time <= end_time <= duration:
+        raise ValueError(
+            f"invalid subsegment [{start_time}, {end_time}] for a "
+            f"{duration:.3f}s segment"
+        )
+    return x[int(round(start_time * sample_rate)) : int(round(end_time * sample_rate))]
+
+
+def gain_db(x: np.ndarray, gain: float) -> np.ndarray:
+    """Apply gain in dB (reference: segment.py gain_db)."""
+    return (x * 10.0 ** (gain / 20.0)).astype(x.dtype)
+
+
+def rms_db(x: np.ndarray) -> float:
+    """Segment loudness in dB (reference: segment.py rms_db)."""
+    return float(10.0 * np.log10(np.mean(x.astype(np.float64) ** 2)))
+
+
 def load_audio(path: str, target_sr: int = 16000) -> np.ndarray:
     """Load audio, resampling if needed (polyphase via scipy)."""
     if path.endswith(".flac"):

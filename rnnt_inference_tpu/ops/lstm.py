@@ -58,11 +58,12 @@ def lstm_layer(
     """
     compute_dtype = layer.w_ih.dtype
     x = x.astype(compute_dtype)
-    # Hoisted input projection: one big MXU matmul for the whole chunk.
+    # Hoisted input projection: one big MXU matmul for the whole chunk,
+    # staged at xw_dtype (see the module flag above).
     xw = (
         jnp.dot(x, layer.w_ih, preferred_element_type=jnp.float32)
         + layer.b.astype(jnp.float32)
-    )
+    ).astype(xw_dtype(compute_dtype))
 
     h0 = h0.astype(compute_dtype)
     c0 = c0.astype(jnp.float32)
@@ -83,6 +84,26 @@ def lstm_layer(
 import os as _os
 
 _LSTM_IMPL = _os.environ.get("RNNT_LSTM_IMPL", "xla")
+
+# The hoisted input projection xw = x@W_ih + b is accumulated in f32 and
+# then STORED in the compute dtype: at batch 1024 the (T, N, 4H) xw stream
+# is the encoder's dominant HBM traffic (~175 GB f32 per 15 s batch across
+# the 5 layers — the measured encoder is bandwidth-bound, not VPU-bound,
+# at large N), so storing bf16 halves it.  The one extra rounding on the
+# xw term is far inside the reference's own int8 numerics; both the scan
+# and the Pallas kernel apply the same rule so the two impls stay
+# numerically identical.  RNNT_XW_F32=1 restores f32 staging for triage.
+_XW_F32 = _os.environ.get("RNNT_XW_F32", "0") == "1"
+
+
+def set_xw_f32(enabled: bool) -> None:
+    """Force f32 xw staging (numerics triage; trace-time switch)."""
+    global _XW_F32
+    _XW_F32 = bool(enabled)
+
+
+def xw_dtype(compute_dtype):
+    return jnp.float32 if _XW_F32 else compute_dtype
 
 
 def set_lstm_impl(impl: str) -> None:

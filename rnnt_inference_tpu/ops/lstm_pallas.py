@@ -13,14 +13,15 @@ TPU-idiomatic split:
   - input projection x@W_ih + b : ONE large MXU matmul over (T*N, IC) (XLA)
   - recurrence h@W_hh + gates   : this kernel, grid=(T,), state in VMEM
 
-xw stays f32 through the kernel (same as the XLA scan) so the Pallas and
-XLA paths are numerically aligned — the perf-measured path must not differ
-from the accuracy-validated one.
+xw is staged at ops.lstm.xw_dtype (bf16 on the bf16 path, f32 under
+RNNT_XW_F32=1) — the SAME rule as the XLA scan, so the Pallas and XLA
+paths are numerically aligned and the perf-measured path does not differ
+from the accuracy-validated one.  At batch 1024 the f32 xw stream was the
+encoder's dominant HBM traffic; bf16 staging halves it.
 
-VMEM budget at H=1024, BN=128: W_hh 8 MB bf16 + 2x xw f32 blocks 4 MB
-+ 2x y blocks 0.5 MB + h/c scratch 0.75 MB ≈ 13.3 MB < 16 MB.
-(N > 128 is tiled into 128-row tiles; f32 xw blocks no longer fit untiled
-at N=256.)
+VMEM budget at H=1024, BN=128: W_hh 8 MB bf16 + 2x xw blocks (2 MB bf16 /
+4 MB f32) + 2x y blocks 0.5 MB + h/c scratch 0.75 MB ≈ 11-13 MB < 16 MB.
+(N > 128 is tiled into 128-row tiles.)
 """
 
 from __future__ import annotations
@@ -143,14 +144,17 @@ def lstm_layer_pallas(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for ops.lstm.lstm_layer using the Pallas kernel."""
+    from rnnt_inference_tpu.ops.lstm import xw_dtype
+
     dtype = layer.w_ih.dtype
     x = x.astype(dtype)
-    # xw stays f32 (matches ops.lstm.lstm_layer exactly); only the h@W_hh
-    # operands are bf16
+    # xw staged at xw_dtype — the SAME rule as ops.lstm.lstm_layer, so the
+    # Pallas and XLA paths stay numerically identical (f32 accumulation
+    # either way; bf16 staging halves the dominant HBM stream at large N)
     xw = (
         jnp.dot(x, layer.w_ih, preferred_element_type=jnp.float32)
         + layer.b.astype(jnp.float32)
-    )
+    ).astype(xw_dtype(dtype))
     ys, hT, cT = _lstm_recurrence(
         xw, layer.w_hh, h0.astype(dtype), c0.astype(jnp.float32), interpret=interpret
     )
