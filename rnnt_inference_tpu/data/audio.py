@@ -109,6 +109,27 @@ def rms_db(x: np.ndarray) -> float:
     return float(10.0 * np.log10(np.mean(x.astype(np.float64) ** 2)))
 
 
+def speed_perturb(x: np.ndarray, factor: float) -> np.ndarray:
+    """Speed perturbation: play the segment back `factor`x faster, so the
+    output has ~len(x)/factor samples at the same nominal sample rate
+    (the sox Transformer().speed(factor) op the reference's converter uses
+    for calibration augmentation, datasets/process_librispeech.py:51-68).
+
+    Implemented as polyphase resampling with a rational approximation of
+    1/factor (sox's speed is also a rational-rate resample under the hood);
+    pitch shifts along with tempo, matching sox `speed` (not `tempo`).
+    """
+    from fractions import Fraction
+
+    from scipy.signal import resample_poly
+
+    if factor == 1.0:
+        return x
+    frac = Fraction(factor).limit_denominator(1000)
+    # output/input ratio is 1/factor -> up=denominator, down=numerator
+    return resample_poly(x, frac.denominator, frac.numerator).astype(np.float32)
+
+
 def load_audio(path: str, target_sr: int = 16000) -> np.ndarray:
     """Load audio, resampling if needed (polyphase via scipy)."""
     if path.endswith(".flac"):

@@ -156,25 +156,50 @@ def convert_librispeech(
     output_path: str,
     max_duration: float = 15.0,
     file_list: str = None,
+    speeds=None,
 ) -> SampleStore:
     """Offline one-shot conversion: manifest + wav files -> SampleStore npz
     (the reference's convert_librispeech.py equivalent, minus sox).
 
     file_list restricts conversion to the listed utterances (the reference's
-    --output_list / calibration_files.txt mechanism)."""
+    --output_list / calibration_files.txt mechanism).
+
+    speeds adds speed-perturbed copies of each utterance (the reference's
+    `--speed` calibration augmentation, process_librispeech.py:51-68):
+    factor s produces a copy named `{stem}-{s}.wav` with ~1/s the duration;
+    factor 1.0 (the original) is always included.  When both file_list and
+    speeds are given, matching is against the perturbed output names, so a
+    calibration list naming `...-0.9.wav` selects that copy only."""
     import os
 
+    from rnnt_inference_tpu.data.audio import load_audio, speed_perturb
     from rnnt_inference_tpu.data.manifest import Manifest
 
     manifest = Manifest([manifest_path], data_dir=data_dir, max_duration=max_duration)
     entries = list(manifest)
+    factors = sorted({float(s) for s in (speeds or [])} | {1.0})
+    wanted = None
     if file_list:
         with open(file_list) as f:
             wanted = {os.path.basename(line.strip()) for line in f if line.strip()}
-        entries = [
-            e for e in entries if os.path.basename(e["audio_filepath"]) in wanted
-        ]
-    store = SampleStore.from_manifest(entries)
+
+    samples, transcripts, names = [], [], []
+    for e in entries:
+        base = os.path.basename(e["audio_filepath"])
+        stem, ext = os.path.splitext(base)
+        wav = None
+        for s in factors:
+            out_name = base if s == 1.0 else f"{stem}-{s}{ext}"
+            if wanted is not None and out_name not in wanted:
+                continue
+            if wav is None:
+                wav = load_audio(e["audio_filepath"])
+            samples.append(speed_perturb(wav, s))
+            transcripts.append(e["transcript"])
+            names.append(out_name)
+    store = SampleStore(
+        kind="waveform", samples=samples, transcripts=transcripts, names=names
+    )
     if output_path:
         store.save(output_path)
     return store

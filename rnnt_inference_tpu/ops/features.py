@@ -179,8 +179,14 @@ def _frontend_constants(cfg: FeaturizerConfig):
     ang = -2.0 * np.pi * np.outer(n, k) / n_fft
     cos_m = (np.cos(ang) * win_full[:, None]).astype(np.float32)
     sin_m = (np.sin(ang) * win_full[:, None]).astype(np.float32)
+    # trim to the window support: rows outside [pad_l, pad_l+win) are exact
+    # zeros, so frames and matrices restricted to the support produce the
+    # same f32 result with 37.5% fewer DFT FLOPs (frame_signal docstring)
+    support = (pad_l, cfg.win_length)
+    cos_m = cos_m[pad_l : pad_l + cfg.win_length]
+    sin_m = sin_m[pad_l : pad_l + cfg.win_length]
     fb = mel_filterbank(cfg.sample_rate, n_fft, cfg.n_mels, cfg.lowfreq, cfg.fmax)
-    return cos_m, sin_m, fb
+    return cos_m, sin_m, fb, support
 
 
 # ---------------------------------------------------------------------------
@@ -197,12 +203,20 @@ def preemphasis(x: jax.Array, x_lens: jax.Array, coeff: float = 0.97) -> jax.Arr
 
 
 def frame_signal(
-    x: jax.Array, n_fft: int, hop: int, pad_mode: str = "zeros"
+    x: jax.Array, n_fft: int, hop: int, pad_mode: str = "zeros",
+    support: Tuple[int, int] = None,
 ) -> jax.Array:
     """Pad n_fft//2 both sides (mode per FeaturizerConfig.pad_mode — see the
     module docstring for the reference-parity rationale) and slice frames.
 
-    x: (N, S) -> frames (N, T, n_fft) with T = S//hop + 1.
+    x: (N, S) -> frames (N, T, flen) with T = S//hop + 1.
+
+    support=(start, flen) keeps only samples [start, start+flen) of each
+    n_fft-sample frame.  The Hann window is zero outside its win_length
+    centre (320 of 512 samples at the reference dims), so trimming frames
+    to the window support — with the DFT matrices trimmed to match — drops
+    37.5% of the dominant f32 DFT FLOPs and framing traffic while
+    multiplying out only exact zeros.  Default: the full frame.
 
     TPU note: built from gcd-block reshape + strided slices + concat instead
     of an arbitrary gather — gathers over ~100 MB waveforms are slow on the
@@ -211,19 +225,21 @@ def frame_signal(
     N, S = x.shape
     pad = n_fft // 2
     T = S // hop + 1
-    g = math.gcd(n_fft, hop)  # block size (32 for 512/160)
+    start, flen = support if support is not None else (0, n_fft)
+    g = math.gcd(flen, hop)  # block size (160 for 320/160; 32 for 512/160)
     step = hop // g
-    nblocks = step * (T - 1) + n_fft // g
+    nblocks = step * (T - 1) + flen // g
     total = nblocks * g
     mode = "constant" if pad_mode == "zeros" else pad_mode
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode=mode)
+    x = x[:, start:]  # frame t begins at t*hop + start in the padded signal
     if x.shape[1] < total:
         x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
     blocks = x[:, :total].reshape(N, nblocks, g)
     cols = [
-        blocks[:, k : k + step * (T - 1) + 1 : step] for k in range(n_fft // g)
+        blocks[:, k : k + step * (T - 1) + 1 : step] for k in range(flen // g)
     ]
-    return jnp.concatenate(cols, axis=2)  # (N, T, n_fft)
+    return jnp.concatenate(cols, axis=2)  # (N, T, flen)
 
 
 def power_spectrum(frames: jax.Array, cos_m: jax.Array, sin_m: jax.Array) -> jax.Array:
@@ -276,11 +292,14 @@ def log_mel_features(
     Output is time-major ready for the encoder (the reference permutes
     {N,C,T}->{T,N,C} in the SUT, csrc/torch_sut.cpp:200).
     """
-    cos_m, sin_m, fb = _frontend_constants(cfg)
+    cos_m, sin_m, fb, support = _frontend_constants(cfg)
     fb_t = jnp.asarray(fb.T)  # (n_freq, n_mels)
 
     x = preemphasis(x, x_lens, cfg.preemph)
-    frames = frame_signal(x, cfg.n_fft, cfg.hop_length, cfg.pad_mode)  # (N, T, n_fft)
+    # frames trimmed to the window support (N, T, win_length)
+    frames = frame_signal(
+        x, cfg.n_fft, cfg.hop_length, cfg.pad_mode, support=support
+    )
     # direct windowed-DFT matmuls: measured FASTER on TPU than both
     # jnp.fft.rfft (3.6x) and the radix-2 split below (2x) — the radix
     # split's lane de-interleave + 129-bin matmuls + reversed slices cost

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--features", action="store_true",
                    help="also write a precomputed-features store "
                         "(<output stem>-input.npz, the dev-clean-input.pt analog)")
+    p.add_argument("-s", "--speed", type=float, nargs="*", default=None,
+                   help="speed perturbation ratios for calibration "
+                        "augmentation (reference --speed; each ratio s adds "
+                        "a {stem}-{s}.wav copy of every utterance)")
     args = p.parse_args()
 
     from rnnt_inference_tpu.data.dataset import (
@@ -40,7 +44,7 @@ def main():
 
     store = convert_librispeech(
         args.data_dir, args.manifest, args.output, args.max_duration,
-        file_list=args.calib_list,
+        file_list=args.calib_list, speeds=args.speed,
     )
     print(
         f"wrote {args.output}: {len(store)} utterances, "

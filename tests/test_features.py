@@ -152,8 +152,14 @@ def test_radix2_power_spectrum_matches_direct():
     )
 
     cfg = FeaturizerConfig()
-    cos_m, sin_m, _ = _frontend_constants(cfg)
+    cos_m, sin_m, _, (start, flen) = _frontend_constants(cfg)
     frames = jnp.asarray(np.random.RandomState(1).randn(2, 5, 512).astype(np.float32))
-    a = np.asarray(power_spectrum(frames, jnp.asarray(cos_m), jnp.asarray(sin_m)))
+    # the direct matrices are trimmed to the window support; radix2 takes
+    # full n_fft frames (the window is zero outside the support either way)
+    a = np.asarray(
+        power_spectrum(
+            frames[..., start : start + flen], jnp.asarray(cos_m), jnp.asarray(sin_m)
+        )
+    )
     b = np.asarray(power_spectrum_radix2(frames, cfg))
     np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-3)
