@@ -69,13 +69,16 @@ def quant_lstm_layer(
 def _pallas_eligible(layer: QuantLSTMLayerWeights, x: jax.Array) -> bool:
     from rnnt_inference_tpu.ops import lstm as _lstm
 
-    T, N, _ = x.shape
-    H = layer.w_hh.shape[0]
+    T, N, IC = x.shape
+    H, H4 = layer.w_hh.shape
+    # the fused-cat kernel keeps BOTH int8 weight matrices VMEM-resident
+    weight_bytes = (IC + H) * H4
     return (
         _lstm._LSTM_IMPL == "pallas"
         and ((N <= 128 and N % 8 == 0) or N % 128 == 0)
         and H % 128 == 0
         and T >= 2
+        and weight_bytes <= 13 * 2**20
     )
 
 

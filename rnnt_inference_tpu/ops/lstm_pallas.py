@@ -162,20 +162,29 @@ def lstm_layer_pallas(
 
 
 # ---------------------------------------------------------------------------
-# int8 recurrence kernel
+# int8 fused-cat kernel
 # ---------------------------------------------------------------------------
 #
 # The XLA int8 scan was measured 3.3x SLOWER than bf16 (docs/PERFORMANCE.md):
 # per-step quantize/requant VPU work plus poor int8 dot_general lowering
-# inside lax.scan.  This kernel keeps the int8 W_hh VMEM-resident (4 MB at
-# H=1024 — half the bf16 kernel's bytes), runs int8 x int8 -> int32 on the
-# MXU, and fuses dequant + activations + requant so the recurrent hidden
-# state never leaves VMEM.  Semantics bit-match ops/lstm_int8.py
-# (reference contract: models/quant_lstm.py:92-101 lstm_amx_int8).
+# inside lax.scan.  A first Pallas kernel (VMEM-resident int8 W_hh, hoisted
+# int32 xw streamed from HBM) measured 138 ms at N=1024 — already 1.25x
+# faster than bf16 — but the (T, N, 4H) int32 xw stream was its bottleneck
+# (~30 GB/batch).  This kernel instead computes the input projection
+# IN-KERNEL: both int8 weight matrices stay VMEM-resident (12 MB worst case
+# at IC=2048) and the streamed input is the int8 x itself — 16x fewer HBM
+# bytes per step.  gates = x_t@W_ih + h@W_hh in int32 is exactly the
+# reference's cat(x,h) @ W_cat int8 GEMM with the shared cat scale
+# (models/quant_lstm.py:92-101 lstm_amx_int8; integer adds are exact, so
+# the split formulation bit-matches the numpy oracle in tests/test_quant.py),
+# then dequant by rb_scale + f32 bias -> activations -> f32 cell (we keep
+# f32 where the AMX kernel used f16 — strictly more accurate) -> requant
+# h by in_scale (recurrence) and out_scale (layer output, skip_quant_y
+# emits f32 instead).
 
 
-def _quant_lstm_scan_kernel(taxis, emit_f32):
-  def kernel(xw_ref, whh_ref, h0_ref, c0_ref, scales_ref,
+def _quant_lstm_cat_kernel(taxis, emit_f32):
+  def kernel(x_ref, wih_ref, whh_ref, h0_ref, c0_ref, scales_ref,
              ys_ref, hT_ref, cT_ref,
              h_s, c_s):
     t = pl.program_id(taxis)
@@ -189,12 +198,13 @@ def _quant_lstm_scan_kernel(taxis, emit_f32):
     in_scale = scales_ref[0, 1]  # shared x/h recurrence scale
     out_scale = scales_ref[0, 2]
 
-    hw = jax.lax.dot_general(
-        h_s[:], whh_ref[:],
+    i32dot = lambda a, b: jax.lax.dot_general(
+        a, b,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    gates = (xw_ref[0] + hw).astype(jnp.float32) * rb + bias_ref_get(scales_ref)
+    gates_i32 = i32dot(x_ref[0], wih_ref[:]) + i32dot(h_s[:], whh_ref[:])
+    gates = gates_i32.astype(jnp.float32) * rb + bias_ref_get(scales_ref)
 
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c_s[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
@@ -226,7 +236,8 @@ def bias_ref_get(scales_ref):
 
 @functools.partial(jax.jit, static_argnames=("emit_f32", "interpret"))
 def _quant_lstm_recurrence(
-    xw: jax.Array,      # (T, N, 4H) int32 — hoisted int8 x @ W_ih
+    x: jax.Array,       # (T, N, IC) int8
+    w_ih: jax.Array,    # (IC, 4H) int8
     w_hh: jax.Array,    # (H, 4H) int8
     h0: jax.Array,      # (N, H) int8
     c0: jax.Array,      # (N, H) f32
@@ -234,36 +245,37 @@ def _quant_lstm_recurrence(
     emit_f32: bool,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    T, N, H4 = xw.shape
-    H = w_hh.shape[0]
+    T, N, IC = x.shape
+    H, H4 = w_hh.shape
     BN = N if N <= 128 else 128
     assert N % BN == 0, f"batch {N} is not a multiple of the {BN} kernel tile"
     nb = N // BN
     if nb == 1:
         grid = (T,)
-        xw_map = lambda t: (t, 0, 0)
+        x_map = lambda t: (t, 0, 0)
         const_map = lambda t: (0, 0)
         tile_map = lambda t: (0, 0)
         taxis = 0
     else:
         grid = (nb, T)
-        xw_map = lambda b, t: (t, b, 0)
+        x_map = lambda b, t: (t, b, 0)
         const_map = lambda b, t: (0, 0)
         tile_map = lambda b, t: (b, 0)
         taxis = 1
     y_dtype = jnp.float32 if emit_f32 else jnp.int8
     kernel = pl.pallas_call(
-        _quant_lstm_scan_kernel(taxis, emit_f32),
+        _quant_lstm_cat_kernel(taxis, emit_f32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BN, H4), xw_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, IC), x_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((IC, H4), const_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), const_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, H4), const_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BN, H), xw_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, H), x_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, H), tile_map, memory_space=pltpu.VMEM),
         ],
@@ -278,7 +290,7 @@ def _quant_lstm_recurrence(
         ],
         interpret=interpret,
     )
-    ys, hT, cT = kernel(xw, w_hh, h0, c0, scales)
+    ys, hT, cT = kernel(x, w_ih, w_hh, h0, c0, scales)
     return ys, hT, cT
 
 
@@ -291,20 +303,14 @@ def quant_lstm_layer_pallas(
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for ops.lstm_int8.quant_lstm_layer."""
-    # hoisted int8 input projection (one MXU int8 matmul over the chunk)
-    xw = jax.lax.dot_general(
-        x_i8, layer.w_ih,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    H4 = xw.shape[-1]
+    H4 = layer.w_hh.shape[1]
     scalars = jnp.zeros((H4,), jnp.float32)
     scalars = scalars.at[0].set(layer.rb_scale)
     scalars = scalars.at[1].set(layer.in_scale)
     scalars = scalars.at[2].set(layer.out_scale)
     scales = jnp.stack([scalars, layer.b.astype(jnp.float32)])
     return _quant_lstm_recurrence(
-        xw, layer.w_hh, h_i8, c.astype(jnp.float32), scales,
+        x_i8, layer.w_ih, layer.w_hh, h_i8, c.astype(jnp.float32), scales,
         emit_f32=emit_f32, interpret=interpret,
     )
 
