@@ -95,41 +95,64 @@ def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
         )
         log(f"blank-bias: fixed delta={float(fixed_delta):.4f}")
         return dc.replace(weights, joint=jw)
-    wav = jnp.asarray((rng.randn(8, 64000) * 0.1).astype(_np.float32))
+    from rnnt_inference_tpu.data.dataset import speechlike_noise
+
+    wav = jnp.asarray(
+        _np.stack([speechlike_noise(rng, 64000) for _ in range(8)])
+    )
     lens = jnp.full((8,), 64000, jnp.int32)
     feats, flens = jax.jit(lambda a, b: log_mel_features(a, b, cfg))(wav, lens)
     frames = float(jnp.sum(-(-flens // params.stack_time_factor)))
 
-    jw = weights.joint
-    jw = dc.replace(jw, w1_pred=(jw.w1_pred.astype(jnp.float32) * 0.05).astype(jw.w1_pred.dtype))
-    b2_f32 = jw.b2.astype(jnp.float32)
+    jw0 = weights.joint
+    # amp scales the FRAME projection w1_trans: when per-frame emission
+    # logits cluster too tightly, rate-vs-delta is a step function and no
+    # global bias hits an intermediate rate; amplifying frame variability
+    # smooths the curve.  (The speechlike_noise AM envelope in the synthetic
+    # store is the primary fix; this ladder is the backstop.)  Keep the amp
+    # whose calibrated rate lands closest to target within a 2x band.
+    best = None
+    for amp in (1.0, 2.0, 4.0, 8.0):
+        jw = dc.replace(
+            jw0,
+            w1_pred=(jw0.w1_pred.astype(jnp.float32) * 0.05).astype(jw0.w1_pred.dtype),
+            w1_trans=(jw0.w1_trans.astype(jnp.float32) * amp).astype(jw0.w1_trans.dtype),
+        )
+        b2_f32 = jw.b2.astype(jnp.float32)
 
-    def with_delta(delta: float):
-        b2 = b2_f32.at[params.BLANK].add(delta).astype(jw.b2.dtype)
-        return dc.replace(weights, joint=dc.replace(jw, b2=b2))
+        def with_delta(delta: float):
+            b2 = b2_f32.at[params.BLANK].add(delta).astype(jw.b2.dtype)
+            return dc.replace(weights, joint=dc.replace(jw, b2=b2))
 
-    def rate(delta: float) -> float:
-        _, rlens = greedy_decode(with_delta(delta), feats, flens, params=params)
-        return float(_np.sum(_np.asarray(rlens))) / frames
+        def rate(delta: float) -> float:
+            _, rlens = greedy_decode(with_delta(delta), feats, flens, params=params)
+            return float(_np.sum(_np.asarray(rlens))) / frames
 
-    # rate is monotone DECREASING in delta; bracket the target from both
-    # sides (random inits can start blank-dominated, needing delta < 0)
-    lo, hi = -1.0, 1.0
-    while rate(lo) <= target_rate and lo > -4096:
-        lo *= 4
-    while rate(hi) > target_rate and hi < 4096:
-        hi *= 4
-    for _ in range(14):
-        mid = 0.5 * (lo + hi)
-        if rate(mid) > target_rate:
-            lo = mid
-        else:
-            hi = mid
-    delta = 0.5 * (lo + hi)
-    r = rate(delta)
-    log(f"blank-bias calibration: delta={delta:.4f} -> {r:.2f} symbols/frame "
-        f"(target {target_rate})")
-    return with_delta(delta)
+        # rate is monotone DECREASING in delta; bracket the target from both
+        # sides (random inits can start blank-dominated, needing delta < 0)
+        lo, hi = -1.0, 1.0
+        while rate(lo) <= target_rate and lo > -4096:
+            lo *= 4
+        while rate(hi) > target_rate and hi < 4096:
+            hi *= 4
+        for _ in range(14):
+            mid = 0.5 * (lo + hi)
+            if rate(mid) > target_rate:
+                lo = mid
+            else:
+                hi = mid
+        delta = 0.5 * (lo + hi)
+        r = rate(delta)
+        log(f"blank-bias calibration: amp={amp:g} delta={delta:.4f} -> "
+            f"{r:.2f} symbols/frame (target {target_rate})")
+        if best is None or abs(r - target_rate) < abs(best[2] - target_rate):
+            best = (amp, delta, r, with_delta(delta))
+        if 0.5 * target_rate <= r <= 2.0 * target_rate:
+            break
+    amp, delta, r, w = best
+    log(f"blank-bias: using amp={amp:g} delta={delta:.4f} "
+        f"({r:.2f} symbols/frame)")
+    return w
 
 
 def main():

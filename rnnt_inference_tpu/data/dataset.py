@@ -145,9 +145,36 @@ class SampleStore:
         # gamma-ish distribution clipped to [min, max]
         durs = np.clip(rng.gamma(4.0, mean_seconds / 4.0, size=n), min_seconds, max_seconds)
         samples = [
-            (rng.randn(int(d * sample_rate)) * 0.1).astype(np.float32) for d in durs
+            speechlike_noise(rng, int(d * sample_rate)) for d in durs
         ]
         return cls(kind="waveform", samples=samples, transcripts=[""] * n)
+
+
+def speechlike_noise(
+    rng: np.random.RandomState, n_samples: int, rms: float = 0.1,
+    segment_ms: float = 100.0, sample_rate: int = 16000,
+) -> np.ndarray:
+    """Amplitude-modulated Gaussian noise for synthetic benchmarks.
+
+    iid noise gives the encoder almost no frame-to-frame variance (every
+    log-mel frame has the same flat spectrum), which makes downstream
+    emission statistics degenerate — every decode frame behaves alike and
+    no global blank bias can reproduce real speech's ~0.8 symbols/frame
+    (bench.py bias_joint_toward_blank).  Real speech has ~syllable-rate
+    energy modulation; a log-normal envelope piece-wise linear over ~100 ms
+    segments restores per-frame variance end-to-end while keeping the
+    workload synthetic and seedable.  Overall RMS is normalized to `rms`.
+    """
+    x = rng.randn(n_samples)
+    seg = max(int(segment_ms * sample_rate / 1000.0), 1)
+    n_seg = n_samples // seg + 2
+    knots = np.exp(rng.randn(n_seg))  # log-normal envelope knots
+    env = np.interp(
+        np.arange(n_samples) / seg, np.arange(n_seg), knots
+    )
+    x = x * env
+    x *= rms / max(float(np.sqrt(np.mean(x**2))), 1e-12)
+    return x.astype(np.float32)
 
 
 def convert_librispeech(

@@ -60,6 +60,13 @@ def weight_shardings(mesh: Mesh, weights, tensor_parallel: bool = True):
         RNNTWeights,
     )
 
+    if not isinstance(weights, RNNTWeights):
+        # quantized / fake-quant weights: replicate every leaf (scales
+        # included).  TP of the int8 path would need shard_map around the
+        # Pallas kernels — replication is the supported layout there, like
+        # the reference's per-socket clones.
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), weights)
+
     def lstm_spec(layer: LSTMLayerWeights) -> LSTMLayerWeights:
         if not tensor_parallel:
             return LSTMLayerWeights(

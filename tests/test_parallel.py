@@ -55,6 +55,41 @@ def test_dp_decode_matches_single_device():
 
 
 @needs_8
+def test_dp_decode_quant_weights_matches_single_device():
+    """Quantized weights through the dp mesh: weight_shardings must handle
+    the QuantRNNTWeights pytree (replicated leaves) and the int8 decode must
+    be bit-identical to its single-device run."""
+    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+
+    w32 = init_weights(jax.random.PRNGKey(4), SMALL, dtype=jnp.float32)
+    T, N = 12, 16
+    x = jax.random.normal(
+        jax.random.PRNGKey(5), (T, N, SMALL.trans_input_size), jnp.float32
+    )
+    lens = jnp.asarray(np.random.RandomState(1).randint(1, T + 1, N), jnp.int32)
+    calib = calibrate(w32, [(x, lens)], SMALL)
+    wq = quantize_weights(w32, calib, SMALL)
+
+    res_ref, lens_ref = greedy_decode(wq, x, lens, params=SMALL)
+
+    mesh = make_mesh(8, model_parallel=1)
+    w_sh = jax.device_put(wq, weight_shardings(mesh, wq, tensor_parallel=False))
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    l_sh = jax.device_put(lens, lens_sharding(mesh))
+    step = jax.jit(
+        lambda w, x, l: greedy_decode(w, x, l, params=SMALL),
+        out_shardings=(
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data")),
+        ),
+    )
+    with mesh:
+        res_dp, lens_dp = step(w_sh, x_sh, l_sh)
+    np.testing.assert_array_equal(np.asarray(lens_dp), np.asarray(lens_ref))
+    np.testing.assert_array_equal(np.asarray(res_dp), np.asarray(res_ref))
+
+
+@needs_8
 def test_tp_decode_runs_and_is_close():
     """dp=4 x tp=2: Megatron-sharded gates; argmax stream may differ at f32
     reduction-order ties, so compare emitted lengths loosely and shapes
