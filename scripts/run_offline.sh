@@ -21,4 +21,12 @@ if [ -n "$SAMPLE_FILE" ]; then ARGS+=(--sample_file "$SAMPLE_FILE"); else ARGS+=
 [ "$ACCURACY" = "true" ] && ARGS+=(--accuracy)
 [ -n "$MANIFEST" ] && ARGS+=(--manifest "$MANIFEST")
 
-exec python -m rnnt_inference_tpu.main "${ARGS[@]}"
+# DEBUG=pdb|faulthandler|gdb wraps the run in a debugger, like the
+# reference's launch_sut.sh:69-72 (gdb/lldb/memcheck) and eval_model.sh pdb.
+case "${DEBUG:-}" in
+  pdb)          exec python -m pdb -m rnnt_inference_tpu.main "${ARGS[@]}" ;;
+  faulthandler) exec python -X faulthandler -m rnnt_inference_tpu.main "${ARGS[@]}" ;;
+  gdb)          exec gdb --args python -m rnnt_inference_tpu.main "${ARGS[@]}" ;;
+  "")           exec python -m rnnt_inference_tpu.main "${ARGS[@]}" ;;
+  *)            echo "unknown DEBUG=$DEBUG (pdb|faulthandler|gdb)" >&2; exit 2 ;;
+esac

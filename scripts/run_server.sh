@@ -19,4 +19,11 @@ ARGS=(--scenario Server --benchmark --server_slots "$SLOTS" \
 [ -n "$QUANT" ] && ARGS+=(--quant_in "$QUANT")
 if [ -n "$SAMPLE_FILE" ]; then ARGS+=(--sample_file "$SAMPLE_FILE"); else ARGS+=(--synthetic "$SYNTHETIC"); fi
 
-exec python -m rnnt_inference_tpu.main "${ARGS[@]}"
+# DEBUG=pdb|faulthandler|gdb — see run_offline.sh / reference launch_sut.sh:69-72
+case "${DEBUG:-}" in
+  pdb)          exec python -m pdb -m rnnt_inference_tpu.main "${ARGS[@]}" ;;
+  faulthandler) exec python -X faulthandler -m rnnt_inference_tpu.main "${ARGS[@]}" ;;
+  gdb)          exec gdb --args python -m rnnt_inference_tpu.main "${ARGS[@]}" ;;
+  "")           exec python -m rnnt_inference_tpu.main "${ARGS[@]}" ;;
+  *)            echo "unknown DEBUG=$DEBUG (pdb|faulthandler|gdb)" >&2; exit 2 ;;
+esac

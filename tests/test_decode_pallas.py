@@ -40,8 +40,10 @@ def _decode_both(params, w, feats, flens, split_len=-1):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_pallas_decode_matches_xla(seed):
-    w = init_weights(jax.random.PRNGKey(seed), SMALL)
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_pallas_decode_matches_xla(seed, dtype):
+    # bf16 is the shipping bench configuration — pin exactness there too
+    w = init_weights(jax.random.PRNGKey(seed), SMALL, dtype=dtype)
     T, N = 20, 8
     feats = jax.random.normal(
         jax.random.PRNGKey(seed + 10), (T, N, SMALL.trans_input_size)
