@@ -291,12 +291,26 @@ def greedy_decode(
     if split_len == -1:
         state = decode_chunk(weights, state, x, x_lens, params)
     else:
-        for split_idx in range(0, T, split_len):
-            xi = x[split_idx : split_idx + split_len]
-            xi_lens = jnp.minimum(
-                jnp.int32(split_len), jnp.maximum(x_lens - split_idx, 0)
-            )
-            state = decode_chunk(weights, state, xi, xi_lens, params)
+        # lax.scan over fixed-size chunks: ONE compiled chunk program
+        # regardless of T (a Python loop would inline T/split_len copies —
+        # at the reference's Offline split_len=2 with T~1500 that is ~750
+        # programs, uncompilable in practice).  Chunks with xi_lens == 0
+        # are no-ops for that lane, so the trailing pad chunk is harmless.
+        n_chunks = -(-T // split_len)
+        pad_t = n_chunks * split_len - T
+        xc = jnp.pad(x, ((0, pad_t), (0, 0), (0, 0))).reshape(
+            n_chunks, split_len, N, x.shape[2]
+        )
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * split_len
+        chunk_lens = jnp.clip(
+            x_lens[None, :] - starts[:, None], 0, split_len
+        ).astype(jnp.int32)
+
+        def step(st, inp):
+            xi, xi_lens = inp
+            return decode_chunk(weights, st, xi, xi_lens, params), None
+
+        state, _ = jax.lax.scan(step, state, (xc, chunk_lens))
     # res_idx counts every emission, including ones dropped past the static
     # buffer capacity — clamp the reported length to what res actually holds
     return state.res, jnp.minimum(state.res_idx + 1, params.max_res_len)

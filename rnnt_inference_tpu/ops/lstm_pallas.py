@@ -288,6 +288,11 @@ def _quant_lstm_recurrence(
             pltpu.VMEM((BN, H), jnp.int8),
             pltpu.VMEM((BN, H), jnp.float32),
         ],
+        # the resident weight pair alone is 12 MB at IC=2048; with
+        # double-buffered x/y blocks some shapes (e.g. T=217, IC=2048)
+        # exceed Mosaic's default 16 MB scoped-vmem budget.  v5e has
+        # 128 MB VMEM — raise this kernel's cap instead of shrinking tiles.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )
     ys, hT, cT = kernel(x, w_ih, w_hh, h0, c0, scales)

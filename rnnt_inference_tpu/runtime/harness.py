@@ -90,25 +90,24 @@ def run_offline(
     runner = runner or OfflineRunner(weights, params, cfg, batch_size, split_len)
 
     indices = np.arange(len(store))
-    reps = 0
-    total_wall = 0.0
+    rep_walls = []
     result = None
     if device_resident and store.kind == "waveform":
         dqsl = qsl.load_to_device(batch_size)
         if warmup:
             runner.warmup_device(dqsl)
-        while result is None or total_wall < min_duration_s:
+        while result is None or sum(rep_walls) < min_duration_s:
             result = runner.run_device(dqsl)
-            total_wall += result.wall_seconds
-            reps += 1
+            rep_walls.append(result.wall_seconds)
     else:
         if warmup:
             runner.warmup(qsl, waveform_mode=(store.kind == "waveform"))
-        while result is None or total_wall < min_duration_s:
+        while result is None or sum(rep_walls) < min_duration_s:
             result = runner.run(qsl, indices)
-            total_wall += result.wall_seconds
-            reps += 1
+            rep_walls.append(result.wall_seconds)
 
+    reps = len(rep_walls)
+    total_wall = sum(rep_walls)
     n = len(store) * reps
     audio_s = store.audio_seconds * reps
     report = RunReport(
@@ -117,7 +116,17 @@ def run_offline(
         wall_seconds=total_wall,
         samples_per_second=n / total_wall,
         audio_seconds_per_second=audio_s / total_wall,
-        extra=dict(batches=result.batches, reps=reps, batch_size=batch_size),
+        extra=dict(
+            batches=result.batches,
+            reps=reps,
+            batch_size=batch_size,
+            # per-rep walls expose one-off relay/RPC stalls that would
+            # otherwise silently skew the mean
+            rep_wall_seconds=[round(w, 3) for w in rep_walls],
+            # bulk token transfer of the LAST rep (untimed on device-
+            # resident runs; ~1 ms on real hosts, link-bound on relays)
+            readback_seconds=round(result.readback_seconds, 3),
+        ),
     )
 
     hyps = [seq_to_sen(t, len(t)) for t in result.tokens]

@@ -131,6 +131,40 @@ class QuerySampleLibrary:
         return feats, out_lens, T
 
 
+def batch_plan(
+    qsl: QuerySampleLibrary, batch_size: int, indices=None, min_tile: int = 32
+):
+    """Deterministic Offline batch plan: length-sort desc, group by wav
+    bucket, split each bucket into full batches then cascaded power-of-two
+    tail tiles.  Yields (S_bucket, rows) where rows is a list of sample
+    indices (the batch is padded up to the tile size with dead rows).
+
+    Shared by DeviceQSL (staging) and bench iteration-statistics (which
+    need the grouping without re-staging to HBM).
+    """
+    if indices is None:
+        indices = np.arange(len(qsl))
+    order = qsl.sort_desc(indices)
+    by_bucket = {}
+    for i in order:
+        s = qsl.store.samples[int(i)]
+        S = qsl.wav_bucket_for(min(s.shape[0], qsl.wav_buckets[-1]))
+        by_bucket.setdefault(S, []).append(int(i))
+
+    tile = min(min_tile, batch_size)
+    plan = []
+    for S, rows in sorted(by_bucket.items(), reverse=True):
+        n = -(-len(rows) // tile) * tile
+        start = 0
+        g = batch_size
+        while start < n:
+            while g > tile and g > n - start:
+                g //= 2
+            plan.append((S, rows[start : start + g], g))
+            start += g
+    return plan
+
+
 class DeviceQSL:
     """Device-HBM-resident, bucketed sample set for the Offline hot loop.
 
@@ -148,28 +182,15 @@ class DeviceQSL:
     def __init__(self, qsl: QuerySampleLibrary, batch_size: int, indices=None):
         import jax
 
-        if indices is None:
-            indices = np.arange(len(qsl))
         self.batch_size = batch_size
-        order = qsl.sort_desc(indices)
-
-        # group rows by bucket (sorted desc => contiguous runs per bucket)
-        by_bucket = {}
-        for i in order:
-            s = qsl.store.samples[int(i)]
-            S = qsl.wav_bucket_for(min(s.shape[0], qsl.wav_buckets[-1]))
-            by_bucket.setdefault(S, []).append(int(i))
-
-        tile = min(self.MIN_TILE, batch_size)
         # batches are PRE-SPLIT at staging time: the timed Offline loop then
         # dispatches exactly one program per batch instead of paying two
         # extra device-slice dispatches (each a host->relay RPC) per batch
         self._batches = []  # (wav_dev {g,S} int16, lens_dev {g}, row_index {g})
-        for S, rows in sorted(by_bucket.items(), reverse=True):
-            n = -(-len(rows) // tile) * tile
-            wav = np.zeros((n, S), np.int16)
-            lens = np.zeros((n,), np.int32)
-            row_index = np.full((n,), -1, np.int64)
+        for S, rows, g in batch_plan(qsl, batch_size, indices, self.MIN_TILE):
+            wav = np.zeros((g, S), np.int16)
+            lens = np.zeros((g,), np.int32)
+            row_index = np.full((g,), -1, np.int64)
             for r, i in enumerate(rows):
                 s = qsl.store.samples[i][:S]
                 # round-to-nearest with the same 32768 scale load_wav divides
@@ -180,19 +201,9 @@ class DeviceQSL:
                 ).astype(np.int16)
                 lens[r] = s.shape[0]
                 row_index[r] = i
-            start = 0
-            g = batch_size
-            while start < n:
-                while g > tile and g > n - start:
-                    g //= 2
-                self._batches.append(
-                    (
-                        jax.device_put(wav[start : start + g]),
-                        jax.device_put(lens[start : start + g]),
-                        row_index[start : start + g],
-                    )
-                )
-                start += g
+            self._batches.append(
+                (jax.device_put(wav), jax.device_put(lens), row_index)
+            )
         # force staging to complete (untimed)
         for _w, l, _ri in self._batches:
             np.asarray(l[:1])

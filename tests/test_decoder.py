@@ -77,6 +77,20 @@ def test_split_equals_nosplit():
     np.testing.assert_array_equal(np.asarray(res_a), np.asarray(res_b))
 
 
+def test_split_nondivisible_T_equals_nosplit():
+    """T not a multiple of split_len: the trailing scan chunk is padded and
+    must be a no-op past each lane's length."""
+    params = SMALL
+    T, N = 18, 4
+    w = init_weights(jax.random.PRNGKey(301), params)
+    x, x_lens = _make_inputs(T, N, params, seed=5)
+
+    res_a, lens_a = greedy_decode(w, x, x_lens, params=params, split_len=-1)
+    res_b, lens_b = greedy_decode(w, x, x_lens, params=params, split_len=4)
+    np.testing.assert_array_equal(np.asarray(lens_a), np.asarray(lens_b))
+    np.testing.assert_array_equal(np.asarray(res_a), np.asarray(res_b))
+
+
 def test_zero_length_lane_emits_nothing():
     params = SMALL
     T, N = 8, 3
