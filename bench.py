@@ -96,18 +96,25 @@ def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
 
     rng = _np.random.RandomState(seed)
     if fixed_delta is not None:
-        import dataclasses as dc
-
+        # "delta" or "amp:delta" — must replay BOTH knobs a calibrated run
+        # logged ("blank-bias: using amp=A delta=D"), else the emission
+        # statistics differ from the run the delta was captured from
+        if ":" in str(fixed_delta):
+            amp_s, delta_s = str(fixed_delta).split(":")
+            amp, delta = float(amp_s), float(delta_s)
+        else:
+            amp, delta = 1.0, float(fixed_delta)
         jw = weights.joint
         jw = dc.replace(
             jw,
             w1_pred=(jw.w1_pred.astype(jnp.float32) * 0.05).astype(jw.w1_pred.dtype),
+            w1_trans=(jw.w1_trans.astype(jnp.float32) * amp).astype(jw.w1_trans.dtype),
             b2=jw.b2.astype(jnp.float32)
             .at[params.BLANK]
-            .add(float(fixed_delta))
+            .add(delta)
             .astype(jw.b2.dtype),
         )
-        log(f"blank-bias: fixed delta={float(fixed_delta):.4f}")
+        log(f"blank-bias: fixed amp={amp:g} delta={delta:.4f}")
         return dc.replace(weights, joint=jw)
     from rnnt_inference_tpu.data.dataset import speechlike_noise
 

@@ -170,6 +170,13 @@ def main(argv=None):
             _run_scenario(args, weights, store, params, cfg)
 
 
+def _write_summary(args, summary):
+    print(json.dumps(summary, indent=2))
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
 def _run_scenario(args, weights, store, params, cfg):
     if args.scenario == "Offline":
         from rnnt_inference_tpu.runtime.harness import run_offline
@@ -218,10 +225,7 @@ def _run_scenario(args, weights, store, params, cfg):
                 min_duration_s=0.0 if args.accuracy else settings.min_duration_ms / 1e3,
             )
             summary = validate_report(settings, metrics.summary())
-        print(json.dumps(summary, indent=2))
-        os.makedirs(args.output_dir, exist_ok=True)
-        with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
+        _write_summary(args, summary)
         if args.accuracy:
             n = len(store)
             acc = [
@@ -249,10 +253,7 @@ def _run_scenario(args, weights, store, params, cfg):
             report = run_single_stream(weights, store, params, cfg,
                                        split_len=args.split_len)
         summary = validate_report(settings, report.summary())
-        print(json.dumps(summary, indent=2))
-        os.makedirs(args.output_dir, exist_ok=True)
-        with open(os.path.join(args.output_dir, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=2)
+        _write_summary(args, summary)
     else:
         raise SystemExit(f"unknown scenario {args.scenario}")
 

@@ -96,6 +96,10 @@ def run_offline(
         dqsl = qsl.load_to_device(batch_size)
         if warmup:
             runner.warmup_device(dqsl)
+            # one full untimed priming pass: the first serve pass after
+            # compile pays one-off lazy costs (measured 2.7 s vs 0.96 s
+            # steady-state reps) that per-shape warmup does not cover
+            runner.run_device(dqsl)
         while result is None or sum(rep_walls) < min_duration_s:
             result = runner.run_device(dqsl)
             rep_walls.append(result.wall_seconds)

@@ -55,7 +55,6 @@ class OfflineRunner:
         self.split_len = split_len
         self.mesh = mesh
 
-        jit_kw = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

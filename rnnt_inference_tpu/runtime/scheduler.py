@@ -88,8 +88,12 @@ def run_server(
     n = len(store)
     n_queries = max(n, min_query_count)
     order = sample_order if sample_order is not None else np.arange(n)
+    # 2x duration slack: the sum of qps*dur exponential gaps has mean ~dur,
+    # so ~half of all seeds would otherwise run out of arrivals BEFORE
+    # min_duration and silently shorten the load window (the C++ twin
+    # csrc/rnnt_loadgen.cpp allocates the same slack)
     arrivals = poisson_schedule(
-        max(n_queries, int(target_qps * min_duration_s) + 1), target_qps, seed
+        max(n_queries, int(target_qps * min_duration_s * 2) + 16), target_qps, seed
     )
 
     metrics = ServerMetrics()
@@ -243,7 +247,13 @@ def run_server_native(
                         deferred.append(q)
                     else:
                         batch.append(q)
-            if lg.pending == 0 and not batch and deferred and runner.n_active == 0:
+            # drain QoS-deferred queries once the main stream is exhausted
+            # (reference: mQosQueue_ drained after FlushQueries sets lStop_,
+            # torch_sut.cpp:384-417).  Must NOT wait for n_active == 0:
+            # finished slots are only freed by extract, and extraction can be
+            # gated on response_size — requiring an idle pipeline here forms
+            # a circular wait (finished_backlog < response_size forever).
+            if lg.pending == 0 and lg.done_issuing and not batch and deferred:
                 while deferred and len(batch) < room:
                     batch.append(deferred.pop(0))
             if batch:

@@ -91,12 +91,17 @@ def main():
     settings = TestSettings.from_conf(
         "configs/mlperf.conf", "configs/user.conf", "rnnt", "Server"
     )
+    # inflight_window amortizes the relay's ~0.5 s per-readback flush over
+    # N streaming steps (finish detection lags by window*split frames; on
+    # real hosts readbacks are ~1 ms and window=1 is fine)
+    window = int(os.environ.get("PROBE_WINDOW", "8"))
     results = []
     for qps in qps_ladder:
         metrics, _ = run_server(
             runner, store, target_qps=qps, realtime=True,
             response_size=9, min_query_count=int(qps * duration),
             min_duration_s=duration, max_wall_s=duration * 4,
+            inflight_window=window,
         )
         summary = validate_report(settings, metrics.summary())
         summary["target_qps"] = qps

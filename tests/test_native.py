@@ -82,6 +82,43 @@ def test_server_e2e_with_native_loadgen():
         assert seq_to_sen(results[i], len(results[i])) == offline.hypotheses[i]
 
 
+def test_server_native_qos_deferred_with_response_size_completes():
+    """Regression: QoS-deferred queries + response_size larger than the
+    remaining finishers used to form a circular wait (deferred admission
+    required an idle pipeline, but finished slots are only freed by an
+    extraction that waited on response_size).  The run must complete and
+    every query — deferred included — must get a response."""
+    import jax
+
+    from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+    from rnnt_inference_tpu.data.dataset import SampleStore
+    from rnnt_inference_tpu.models.weights import init_weights
+    from rnnt_inference_tpu.runtime.scheduler import run_server_native
+    from rnnt_inference_tpu.runtime.server import ServerRunner
+
+    SMALL = RNNTParams(
+        trans_input_size=240,
+        trans_hidden_size=64,
+        pred_hidden_size=32,
+        joint_hidden_size=32,
+        max_res_len=128,
+    )
+    cfg = FeaturizerConfig()
+    store = SampleStore.synthetic(
+        n=5, seed=7, min_seconds=0.3, max_seconds=1.0, mean_seconds=0.6
+    )
+    w = init_weights(jax.random.PRNGKey(2), SMALL)
+    runner = ServerRunner(w, SMALL, cfg, slots=4, split_len=4, max_frames=64,
+                          insert_batch=2)
+    # qos_len of 0.5 s defers the longer samples; response_size 9 > n
+    report, results = run_server_native(
+        runner, store, target_qps=200.0, max_wall_s=30.0,
+        qos_len=8000, response_size=9,
+    )
+    assert report["completed"] == 5
+    assert sorted(results) == list(range(5))
+
+
 def test_single_stream_mode_issue_after_complete():
     """Mode 2: the next query is issued only after the previous completes."""
     n = 10
