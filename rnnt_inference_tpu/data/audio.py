@@ -1,8 +1,9 @@
 """Waveform loading without librosa/soundfile (not in this image).
 
-WAV via stdlib `wave` / scipy; FLAC decode is gated with a clear error —
-LibriSpeech prep on this framework expects .wav (convert offline with any
-flac tool; the reference used sox, datasets/process_librispeech.py:31-97).
+WAV via stdlib `wave` / scipy; FLAC via the pure-Python codec in
+rnnt_inference_tpu/data/flac.py (the reference decodes LibriSpeech's FLAC
+through sox, datasets/process_librispeech.py:31-97 — this image has no
+codec, so we carry our own).
 """
 
 from __future__ import annotations
@@ -133,11 +134,11 @@ def speed_perturb(x: np.ndarray, factor: float) -> np.ndarray:
 def load_audio(path: str, target_sr: int = 16000) -> np.ndarray:
     """Load audio, resampling if needed (polyphase via scipy)."""
     if path.endswith(".flac"):
-        raise NotImplementedError(
-            "FLAC decode is not available in this environment; convert "
-            "LibriSpeech to .wav offline (e.g. with flac/sox) first."
-        )
-    x, sr = load_wav(path)
+        from rnnt_inference_tpu.data.flac import load_flac
+
+        x, sr = load_flac(path)
+    else:
+        x, sr = load_wav(path)
     if sr != target_sr:
         from math import gcd
 

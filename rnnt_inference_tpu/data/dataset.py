@@ -177,6 +177,14 @@ def speechlike_noise(
     return x.astype(np.float32)
 
 
+def _load_and_perturb(job):
+    """(path, speed factor) -> waveform; module-level for Pool pickling."""
+    from rnnt_inference_tpu.data.audio import load_audio, speed_perturb
+
+    path, s = job
+    return speed_perturb(load_audio(path), s)
+
+
 def convert_librispeech(
     data_dir: str,
     manifest_path: str,
@@ -184,6 +192,7 @@ def convert_librispeech(
     max_duration: float = 15.0,
     file_list: str = None,
     speeds=None,
+    workers: int = 0,
 ) -> SampleStore:
     """Offline one-shot conversion: manifest + wav files -> SampleStore npz
     (the reference's convert_librispeech.py equivalent, minus sox).
@@ -199,7 +208,6 @@ def convert_librispeech(
     calibration list naming `...-0.9.wav` selects that copy only."""
     import os
 
-    from rnnt_inference_tpu.data.audio import load_audio, speed_perturb
     from rnnt_inference_tpu.data.manifest import Manifest
 
     manifest = Manifest([manifest_path], data_dir=data_dir, max_duration=max_duration)
@@ -210,20 +218,29 @@ def convert_librispeech(
         with open(file_list) as f:
             wanted = {os.path.basename(line.strip()) for line in f if line.strip()}
 
-    samples, transcripts, names = [], [], []
+    # one (decode, perturb) job per selected output copy; pure-Python FLAC
+    # decode is ~1 s per audio-minute, so fan the one-shot conversion over
+    # worker processes when asked
+    jobs = []  # (path, factor, transcript, out_name)
     for e in entries:
         base = os.path.basename(e["audio_filepath"])
         stem, ext = os.path.splitext(base)
-        wav = None
         for s in factors:
             out_name = base if s == 1.0 else f"{stem}-{s}{ext}"
             if wanted is not None and out_name not in wanted:
                 continue
-            if wav is None:
-                wav = load_audio(e["audio_filepath"])
-            samples.append(speed_perturb(wav, s))
-            transcripts.append(e["transcript"])
-            names.append(out_name)
+            jobs.append((e["audio_filepath"], s, e["transcript"], out_name))
+
+    if workers and workers > 1 and len(jobs) > 1:
+        from multiprocessing import get_context
+
+        with get_context("spawn").Pool(workers) as pool:
+            decoded = pool.map(_load_and_perturb, [(j[0], j[1]) for j in jobs])
+    else:
+        decoded = [_load_and_perturb((j[0], j[1])) for j in jobs]
+    samples = decoded
+    transcripts = [j[2] for j in jobs]
+    names = [j[3] for j in jobs]
     store = SampleStore(
         kind="waveform", samples=samples, transcripts=transcripts, names=names
     )

@@ -35,6 +35,9 @@ def main():
                    help="speed perturbation ratios for calibration "
                         "augmentation (reference --speed; each ratio s adds "
                         "a {stem}-{s}.wav copy of every utterance)")
+    p.add_argument("--workers", type=int, default=0,
+                   help="decode/perturb worker processes (FLAC decode is "
+                        "pure Python, ~1 s per audio-minute per core)")
     args = p.parse_args()
 
     from rnnt_inference_tpu.data.dataset import (
@@ -44,7 +47,7 @@ def main():
 
     store = convert_librispeech(
         args.data_dir, args.manifest, args.output, args.max_duration,
-        file_list=args.calib_list, speeds=args.speed,
+        file_list=args.calib_list, speeds=args.speed, workers=args.workers,
     )
     print(
         f"wrote {args.output}: {len(store)} utterances, "

@@ -56,6 +56,40 @@ def test_convert_basic_roundtrip(tmp_path):
     assert len(store.samples[0]) == SR
 
 
+def test_convert_flac_corpus_matches_wav(tmp_path):
+    """LibriSpeech-style FLAC input (decoded by the pure-Python codec) must
+    produce the same store as the wav copy of the corpus, incl. workers>1."""
+    from rnnt_inference_tpu.data.flac import encode_flac
+
+    rng = np.random.RandomState(1)
+    entries = []
+    for i in range(3):
+        dur = 0.5 + 0.25 * i
+        x = (rng.randn(int(SR * dur)) * 0.1).astype(np.float32)
+        pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int32)
+        _write_wav(tmp_path / f"utt{i}.wav", x)
+        (tmp_path / f"utt{i}.flac").write_bytes(encode_flac(pcm, SR))
+        entries.append(dict(audio_filepath=f"utt{i}.flac", duration=dur,
+                            transcript=f"t {i}"))
+    man_flac = tmp_path / "man_flac.json"
+    man_flac.write_text(json.dumps(entries))
+    man_wav = tmp_path / "man_wav.json"
+    man_wav.write_text(json.dumps(
+        [dict(e, audio_filepath=e["audio_filepath"].replace(".flac", ".wav"))
+         for e in entries]
+    ))
+
+    s_flac = convert_librispeech(str(tmp_path), str(man_flac), "")
+    s_wav = convert_librispeech(str(tmp_path), str(man_wav), "")
+    assert len(s_flac) == len(s_wav) == 3
+    for a, b in zip(s_flac.samples, s_wav.samples):
+        np.testing.assert_array_equal(a, b)
+
+    s_par = convert_librispeech(str(tmp_path), str(man_flac), "", workers=2)
+    for a, b in zip(s_par.samples, s_flac.samples):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_convert_calib_list_filters(tmp_path):
     manifest = _make_corpus(tmp_path)
     calib = tmp_path / "calib.txt"
