@@ -207,6 +207,67 @@ def test_decoder_stereo_decorrelation(mode):
     np.testing.assert_array_equal(out[:, 1], right)
 
 
+def test_decoder_multi_partition_residual():
+    """Partition order 2 (4 partitions, distinct rice params) — the shape
+    libFLAC actually emits; our subset encoder always uses order 0."""
+    bsz = 32
+    order = 1
+    warm = 7
+    rng = np.random.RandomState(9)
+    res = rng.randint(-20, 21, size=bsz - order)
+    expect = [warm]
+    for r in res:
+        expect.append(int(r) + expect[-1])
+
+    hdr = _BitWriter()
+    _frame_header(hdr, channels_code=0, bsz=bsz)
+    bw = _with_crc8(hdr)
+    bw.write(0, 1)
+    bw.write(8 + order, 6)  # fixed order 1
+    bw.write(0, 1)
+    bw.write_signed(warm, 16)
+    bw.write(0, 2)  # rice 4-bit
+    bw.write(2, 4)  # partition order 2 -> 4 partitions of bsz/4
+    part_len = bsz >> 2
+    ks = [1, 3, 0, 5]
+    idx = 0
+    for p, k in enumerate(ks):
+        n = part_len - order if p == 0 else part_len
+        bw.write(k, 4)
+        for _ in range(n):
+            v = int(res[idx]); idx += 1
+            z = (abs(v) << 1) - (1 if v < 0 else 0)
+            bw.write_unary(z >> k)
+            bw.write(z & ((1 << k) - 1), k)
+    data = _streaminfo(16000, 1, 16, bsz, bsz) + _finish_frame(bw)
+    out, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(out[:, 0], expect)
+
+
+def test_decoder_table_blocksize_code():
+    """Block size from the 4-bit code table (code 8 = 256), not the
+    explicit 8/16-bit field our encoder uses."""
+    bsz = 256
+    hdr = _BitWriter()
+    hdr.write(0x3FFE, 14)
+    hdr.write(0, 2)
+    hdr.write(8, 4)   # table code: 256
+    hdr.write(0, 4)   # sr from streaminfo
+    hdr.write(0, 4)   # mono
+    hdr.write(4, 3)   # 16-bit
+    hdr.write(0, 1)
+    hdr.write(0, 8)   # frame number 0
+    hdr.align()
+    bw = _with_crc8(hdr)
+    bw.write(0, 1)
+    bw.write(0, 6)  # constant subframe
+    bw.write(0, 1)
+    bw.write_signed(-321, 16)
+    data = _streaminfo(16000, 1, 16, bsz, bsz) + _finish_frame(bw)
+    out, _, _ = decode_flac(data)
+    np.testing.assert_array_equal(out[:, 0], np.full(bsz, -321))
+
+
 def test_bitreader_unary_across_bytes():
     bw = _BitWriter()
     bw.write_unary(0)
