@@ -184,7 +184,14 @@ def lstm_layer_pallas(
 # emits f32 instead).
 
 
-def _quant_lstm_cat_kernel(taxis, emit_f32):
+def _quant_lstm_cat_kernel(taxis, emit_f32, halves):
+  """halves > 1 splits the batch tile into row halves whose MXU matmuls and
+  VPU gate chains are emitted interleaved in straight-line order, giving
+  Mosaic's scheduler independent MXU work to overlap with each half's gate
+  transcendentals (an earlier pl.when-based interleave attempt defeated the
+  scheduler; straight-line code is the variant worth measuring).  Row
+  halves are independent within a timestep, so results are bit-identical
+  for any split."""
   def kernel(x_ref, wih_ref, whh_ref, h0_ref, c0_ref, scales_ref,
              ys_ref, hT_ref, cT_ref,
              h_s, c_s):
@@ -198,28 +205,40 @@ def _quant_lstm_cat_kernel(taxis, emit_f32):
     rb = scales_ref[0, 0]        # 1 / (in_scale * w_scale)
     in_scale = scales_ref[0, 1]  # shared x/h recurrence scale
     out_scale = scales_ref[0, 2]
+    bias = bias_ref_get(scales_ref)
 
     i32dot = lambda a, b: jax.lax.dot_general(
         a, b,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    gates_i32 = i32dot(x_ref[0], wih_ref[:]) + i32dot(h_s[:], whh_ref[:])
-    gates = gates_i32.astype(jnp.float32) * rb + bias_ref_get(scales_ref)
-
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c_s[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
 
     def quantize(v, s):
         return jnp.clip(jnp.round(v * s), -128.0, 127.0).astype(jnp.int8)
 
-    h_s[:] = quantize(h_new, in_scale)
-    c_s[:] = c_new
-    if emit_f32:
-        ys_ref[0] = h_new
-    else:
-        ys_ref[0] = quantize(h_new, out_scale)
+    BN = h_s.shape[0]
+    nh = halves if halves > 1 and BN % halves == 0 else 1
+    rows = BN // nh
+    # phase 1: all halves' int8 GEMMs (independent MXU ops)
+    gates_i32 = [
+        i32dot(x_ref[0, k * rows : (k + 1) * rows], wih_ref[:])
+        + i32dot(h_s[k * rows : (k + 1) * rows], whh_ref[:])
+        for k in range(nh)
+    ]
+    # phase 2: per-half VPU gate math — half k+1's GEMM can overlap half
+    # k's transcendentals if the scheduler cooperates
+    for k in range(nh):
+        sl = slice(k * rows, (k + 1) * rows)
+        gates = gates_i32[k].astype(jnp.float32) * rb + bias
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c_s[sl] + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h_s[sl] = quantize(h_new, in_scale)
+        c_s[sl] = c_new
+        if emit_f32:
+            ys_ref[0, sl] = h_new
+        else:
+            ys_ref[0, sl] = quantize(h_new, out_scale)
 
     @pl.when(t == pl.num_programs(taxis) - 1)
     def _():
@@ -269,8 +288,9 @@ def _quant_lstm_recurrence(
         tile_map = lambda b, t: (b, 0)
         taxis = 1
     y_dtype = jnp.float32 if emit_f32 else jnp.int8
+    halves = int(_os.environ.get("RNNT_INT8_HALVES", "1"))
     kernel = pl.pallas_call(
-        _quant_lstm_cat_kernel(taxis, emit_f32),
+        _quant_lstm_cat_kernel(taxis, emit_f32, halves),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BN, IC), x_map, memory_space=pltpu.VMEM),

@@ -50,7 +50,8 @@ def main():
     np.asarray(out[0, 0, 0])
     dt = (time.time() - t0) / iters
     print(
-        f"int8 encoder N={N} T={T} BN={os.environ.get('RNNT_INT8_BN', '128')}: "
+        f"int8 encoder N={N} T={T} BN={os.environ.get('RNNT_INT8_BN', '256')} "
+        f"halves={os.environ.get('RNNT_INT8_HALVES', '1')}: "
         f"{dt*1e3:.1f} ms/batch"
     )
 
