@@ -1,0 +1,78 @@
+"""CLI entry point (rnnt_inference_tpu.main): the staged flow of the
+reference's models/main.py — calibrate -> quantize -> accuracy run — plus
+SingleStream, exercised end-to-end through parse_args/main on tiny
+synthetic stores at full model dims."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rnnt_inference_tpu.data.dataset import SampleStore
+from rnnt_inference_tpu.main import main
+
+
+def _tiny_store(tmp_path, n=4, seed=0, name="store.npz"):
+    store = SampleStore.synthetic(
+        n=n, seed=seed, min_seconds=0.3, max_seconds=0.6, mean_seconds=0.4
+    )
+    store.transcripts = ["hello world"] * n
+    p = tmp_path / name
+    store.save(str(p))
+    return str(p)
+
+
+def test_staged_calibrate_quantize_accuracy(tmp_path):
+    """Full pipeline: --calibration writes amaxes, --save_quant writes the
+    int8 model, --accuracy runs it and writes summary + accuracy log
+    (reference: main.py:22-85 staged flow)."""
+    store_path = _tiny_store(tmp_path)
+    calib_path = str(tmp_path / "calib.npz")
+    quant_path = str(tmp_path / "quant.npz")
+    out_dir = str(tmp_path / "out")
+
+    main([
+        "--run_mode", "f32",
+        "--calibration", "--calib_file", store_path,
+        "--calib_out", calib_path,
+        "--save_quant", "--calib_in", calib_path,
+        "--quant_out", quant_path,
+        "--batch_size", "4",
+    ])
+    assert os.path.exists(calib_path) and os.path.exists(quant_path)
+
+    main([
+        "--quant_in", quant_path,
+        "--accuracy", "--scenario", "Offline",
+        "--sample_file", store_path,
+        "--batch_size", "4",
+        "--output_dir", out_dir,
+    ])
+    summary = json.load(open(os.path.join(out_dir, "summary.json")))
+    assert summary["scenario"] == "Offline"
+    assert "wer_percent" in summary
+    acc = json.load(open(os.path.join(out_dir, "accuracy_log.json")))
+    assert len(acc) == 4
+    assert all(set(e) == {"qsl_idx", "data"} for e in acc)
+
+
+def test_single_stream_benchmark(tmp_path):
+    """SingleStream benchmark honoring tiny conf rules, verdict emitted."""
+    store_path = _tiny_store(tmp_path, n=3, seed=1)
+    conf = tmp_path / "user.conf"
+    conf.write_text(
+        "rnnt.SingleStream.min_query_count = 3\n"
+        "rnnt.SingleStream.min_duration = 0\n"
+        "rnnt.SingleStream.target_latency = 60000\n"
+    )
+    out_dir = str(tmp_path / "out_ss")
+    main([
+        "--benchmark", "--scenario", "SingleStream",
+        "--sample_file", store_path,
+        "--user_conf", str(conf),
+        "--output_dir", out_dir,
+    ])
+    summary = json.load(open(os.path.join(out_dir, "summary.json")))
+    assert summary["scenario"] == "SingleStream"
+    assert summary["result_validity"] in ("VALID", "INVALID")
