@@ -57,6 +57,29 @@ def test_staged_calibrate_quantize_accuracy(tmp_path):
     assert all(set(e) == {"qsl_idx", "data"} for e in acc)
 
 
+def test_fake_quant_accuracy_run(tmp_path):
+    """--run_mode fake_quant (quantization-error triage, reference
+    quant_lstm.py:162-183) runs end-to-end from a calibration file."""
+    store_path = _tiny_store(tmp_path, n=2, seed=2)
+    calib_path = str(tmp_path / "calib.npz")
+    main([
+        "--run_mode", "f32",
+        "--calibration", "--calib_file", store_path,
+        "--calib_out", calib_path,
+        "--batch_size", "2",
+    ])
+    out_dir = str(tmp_path / "out_fq")
+    main([
+        "--run_mode", "fake_quant", "--calib_in", calib_path,
+        "--accuracy", "--scenario", "Offline",
+        "--sample_file", store_path,
+        "--batch_size", "2",
+        "--output_dir", out_dir,
+    ])
+    summary = json.load(open(os.path.join(out_dir, "summary.json")))
+    assert "wer_percent" in summary
+
+
 def test_single_stream_benchmark(tmp_path):
     """SingleStream benchmark honoring tiny conf rules, verdict emitted."""
     store_path = _tiny_store(tmp_path, n=3, seed=1)
