@@ -10,10 +10,11 @@ the whole machine (BASELINE.md).  vs_baseline compares ONE TPU chip against
 that full 2-socket system.
 
 Env knobs: BENCH_N (samples, default 8192), BENCH_BATCH (default 1024),
-BENCH_SECONDS ("2,4,6,8,10,12,15" wav bucket ladder; the finer default
-ladder lifts padding efficiency from 0.74 to 0.88 on the gamma-length
-synthetic set), BENCH_DTYPE (bf16|f32|quant), BENCH_EMISSION
-(blank|uniform), BENCH_MIN_S (measured-window floor, s).
+BENCH_SECONDS (wav bucket ladder; the default 1 s ladder "2,3,...,14,15"
+has padding efficiency 0.911 on the gamma-length synthetic set),
+BENCH_DTYPE (quant|bf16|f32, default quant — the reference's own headline
+mode), BENCH_EMISSION (blank|uniform), BENCH_MIN_S (measured-window
+floor, s), BENCH_SYM_CAP, BENCH_BLANK_DELTA ("amp:delta" replay).
 
 BENCH_EMISSION=blank (default) biases the random joint toward blank so
 ~70% of decode iterations advance time — the emission statistics of real
@@ -81,11 +82,11 @@ def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
          bias can give an intermediate rate there.  Frame-decided emission
          makes the rate a monotonic function of the blank bias.
       2. the blank logit gets +delta, bisected on the MEASURED decode until
-         the emission rate hits target_rate.  Emitting frames burst to the
-         30-symbol cap, so the iteration count is ~(1 + rate)·T2, matching
-         real-speech decode-loop cost even though bursts are clumpier than
-         real transcripts.  The bias is a weight value, not a traced
-         constant: every bisection step reuses one compiled program.
+         the emission rate hits target_rate, so the decode-loop iteration
+         count matches real speech (frames + symbols; under BENCH_SYM_CAP=1
+         each emitting frame is exactly one symbol + its advance).  The
+         bias is a weight value, not a traced constant: every bisection
+         step reuses one compiled program.
     """
     import dataclasses as dc
 
@@ -94,16 +95,7 @@ def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
     from rnnt_inference_tpu.models.decoder import greedy_decode
     from rnnt_inference_tpu.ops.features import log_mel_features
 
-    rng = _np.random.RandomState(seed)
-    if fixed_delta is not None:
-        # "delta" or "amp:delta" — must replay BOTH knobs a calibrated run
-        # logged ("blank-bias: using amp=A delta=D"), else the emission
-        # statistics differ from the run the delta was captured from
-        if ":" in str(fixed_delta):
-            amp_s, delta_s = str(fixed_delta).split(":")
-            amp, delta = float(amp_s), float(delta_s)
-        else:
-            amp, delta = 1.0, float(fixed_delta)
+    def biased_joint(amp: float, delta: float):
         jw = weights.joint
         jw = dc.replace(
             jw,
@@ -114,8 +106,17 @@ def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
             .add(delta)
             .astype(jw.b2.dtype),
         )
-        log(f"blank-bias: fixed amp={amp:g} delta={delta:.4f}")
         return dc.replace(weights, joint=jw)
+
+    rng = _np.random.RandomState(seed)
+    if fixed_delta is not None:
+        # "delta" or "amp:delta" — must replay BOTH knobs a calibrated run
+        # logged ("blank-bias: using amp=A delta=D"), else the emission
+        # statistics differ from the run the delta was captured from
+        amp_s, _, delta_s = str(fixed_delta).rpartition(":")
+        amp, delta = float(amp_s or 1.0), float(delta_s)
+        log(f"blank-bias: fixed amp={amp:g} delta={delta:.4f}")
+        return biased_joint(amp, delta)
     from rnnt_inference_tpu.data.dataset import speechlike_noise
 
     wav = jnp.asarray(
@@ -125,7 +126,6 @@ def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
     feats, flens = jax.jit(lambda a, b: log_mel_features(a, b, cfg))(wav, lens)
     frames = float(jnp.sum(-(-flens // params.stack_time_factor)))
 
-    jw0 = weights.joint
     # amp scales the FRAME projection w1_trans: when per-frame emission
     # logits cluster too tightly, rate-vs-delta is a step function and no
     # global bias hits an intermediate rate; amplifying frame variability
@@ -134,16 +134,8 @@ def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
     # whose calibrated rate lands closest to target within a 2x band.
     best = None
     for amp in (1.0, 2.0, 4.0, 8.0):
-        jw = dc.replace(
-            jw0,
-            w1_pred=(jw0.w1_pred.astype(jnp.float32) * 0.05).astype(jw0.w1_pred.dtype),
-            w1_trans=(jw0.w1_trans.astype(jnp.float32) * amp).astype(jw0.w1_trans.dtype),
-        )
-        b2_f32 = jw.b2.astype(jnp.float32)
-
-        def with_delta(delta: float):
-            b2 = b2_f32.at[params.BLANK].add(delta).astype(jw.b2.dtype)
-            return dc.replace(weights, joint=dc.replace(jw, b2=b2))
+        def with_delta(delta: float, amp=amp):
+            return biased_joint(amp, delta)
 
         evals = []
 

@@ -207,11 +207,8 @@ def _decode_residual(br: _BitReader, block_size: int, order: int) -> List[int]:
     part_order = br.read(4)
     n_parts = 1 << part_order
     part_len = block_size >> part_order
-    if part_len << part_order != block_size or part_len <= (order if n_parts == 1 else 0):
-        # spec requires block_size divisible by 2^order and first partition
-        # positive after warmup removal; be tolerant on the latter
-        if part_len << part_order != block_size:
-            raise ValueError("bad rice partition order")
+    if part_len << part_order != block_size:
+        raise ValueError("bad rice partition order")
     res: List[int] = []
     read, unary = br.read, br.unary
     for p in range(n_parts):

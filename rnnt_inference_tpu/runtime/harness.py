@@ -206,7 +206,7 @@ def run_single_stream_native(
                 res = np.asarray(res)
                 n_tok = int(np.asarray(res_lens)[0])
                 lg.complete(q)
-                audio_s += store.samples[i].shape[0] / 16000.0
+                audio_s += store.samples[i].shape[0] / float(cfg.sample_rate)
                 if i not in hyps:
                     hyps[i] = seq_to_sen(res[0, :n_tok].astype(np.int32), n_tok)
         rep = lg.report()
@@ -278,7 +278,7 @@ def run_single_stream(
         samples_per_second=n / wall,
         audio_seconds_per_second=sum(
             s.shape[0] for s in store.samples[:n]
-        ) / 16000.0 / wall if store.kind == "waveform" else 0.0,
+        ) / float(cfg.sample_rate) / wall if store.kind == "waveform" else 0.0,
         hypotheses=hyps,
         extra=dict(
             latency_ms_p50=round(float(np.percentile(lat, 50)), 2),
