@@ -255,15 +255,17 @@ def frame_splice(x: jax.Array, splicing: int) -> jax.Array:
 
     x: (N, T, C) -> (N, ceil(T/splicing), C*splicing).  Frames beyond T are
     zero (reference: datasets/parts/features.py:79-91 splice_frames).
+
+    Because stride == splicing, group [t'] is exactly frames
+    [t'*splicing .. t'*splicing+splicing-1] channel-stacked — a pad to a
+    frame-count multiple plus a reshape, no data movement (the earlier
+    concat-of-shifted-copies materialized splicing x the bytes and then
+    kept a 1/splicing stride of them).
     """
     N, T, C = x.shape
-    # each shifted copy keeps original frame count T, zero past end like the
-    # reference's tmp[:, :, :-n] = x[:, :, n:]
-    shifted = [x]
-    for n in range(1, splicing):
-        shifted.append(jnp.pad(x[:, n:], ((0, 0), (0, n), (0, 0))))
-    y = jnp.concatenate(shifted, axis=2)  # (N, T, C*splicing)
-    return y[:, ::splicing]
+    T2 = -(-T // splicing)
+    x = jnp.pad(x, ((0, 0), (0, T2 * splicing - T), (0, 0)))
+    return x.reshape(N, T2, splicing * C)
 
 
 def normalize_per_feature(
