@@ -178,11 +178,13 @@ def speechlike_noise(
 
 
 def _load_and_perturb(job):
-    """(path, speed factor) -> waveform; module-level for Pool pickling."""
+    """(path, [factors]) -> [waveforms]; one decode feeds every speed factor
+    (FLAC decode is the expensive part).  Module-level for Pool pickling."""
     from rnnt_inference_tpu.data.audio import load_audio, speed_perturb
 
-    path, s = job
-    return speed_perturb(load_audio(path), s)
+    path, factors = job
+    wav = load_audio(path)
+    return [speed_perturb(wav, s) for s in factors]
 
 
 def convert_librispeech(
@@ -218,18 +220,23 @@ def convert_librispeech(
         with open(file_list) as f:
             wanted = {os.path.basename(line.strip()) for line in f if line.strip()}
 
-    # one (decode, perturb) job per selected output copy; pure-Python FLAC
-    # decode is ~1 s per audio-minute, so fan the one-shot conversion over
-    # worker processes when asked
-    jobs = []  # (path, factor, transcript, out_name)
+    # one decode job per FILE (feeding every selected speed factor — FLAC
+    # decode at ~1 s per audio-minute is the expensive part); fan the
+    # one-shot conversion over worker processes when asked
+    jobs = []  # (path, [factors], [transcripts], [out_names])
     for e in entries:
         base = os.path.basename(e["audio_filepath"])
         stem, ext = os.path.splitext(base)
+        fs, ts, ns = [], [], []
         for s in factors:
             out_name = base if s == 1.0 else f"{stem}-{s}{ext}"
             if wanted is not None and out_name not in wanted:
                 continue
-            jobs.append((e["audio_filepath"], s, e["transcript"], out_name))
+            fs.append(s)
+            ts.append(e["transcript"])
+            ns.append(out_name)
+        if fs:
+            jobs.append((e["audio_filepath"], fs, ts, ns))
 
     if workers and workers > 1 and len(jobs) > 1:
         from multiprocessing import get_context
@@ -238,9 +245,9 @@ def convert_librispeech(
             decoded = pool.map(_load_and_perturb, [(j[0], j[1]) for j in jobs])
     else:
         decoded = [_load_and_perturb((j[0], j[1])) for j in jobs]
-    samples = decoded
-    transcripts = [j[2] for j in jobs]
-    names = [j[3] for j in jobs]
+    samples = [w for ws in decoded for w in ws]
+    transcripts = [t for j in jobs for t in j[2]]
+    names = [n for j in jobs for n in j[3]]
     store = SampleStore(
         kind="waveform", samples=samples, transcripts=transcripts, names=names
     )

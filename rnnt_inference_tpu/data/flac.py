@@ -437,6 +437,22 @@ def load_flac(path: str) -> Tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 
+def _write_utf8_number(bw: _BitWriter, v: int) -> None:
+    """UTF-8-style coded number, general form up to 36 bits (the decoder's
+    _read_utf8_number inverse; 2-byte .. 7-byte lead forms)."""
+    if v < 0x80:
+        bw.write(v, 8)
+        return
+    for n_extra in range(1, 7):
+        payload_bits = 6 - n_extra + 6 * n_extra  # lead bits + continuations
+        if v < (1 << payload_bits):
+            break
+    lead_mask = (0xFF << (7 - n_extra)) & 0xFF  # n_extra+1 ones then a zero
+    bw.write(lead_mask | (v >> (6 * n_extra)), 8)
+    for i in range(n_extra - 1, -1, -1):
+        bw.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+
 def _rice_cost(res: np.ndarray, k: int) -> int:
     z = (np.abs(res.astype(np.int64)) << 1) - (res < 0)
     return int(np.sum(z >> k)) + len(res) * (k + 1)
@@ -460,7 +476,7 @@ def _write_residual(bw: _BitWriter, res: np.ndarray, force_escape: bool) -> None
     bw.write(0, 4)  # partition order 0 -> one partition
     if force_escape:
         nbits = int(max(1, np.max(np.abs(res.astype(np.int64))) + 1)).bit_length() + 1
-        nbits = min(nbits, 31)
+        assert nbits <= 31, "residuals exceed escape capacity (use verbatim)"
         bw.write(0xF, 4)
         bw.write(nbits, 5)
         for v in res:
@@ -511,9 +527,10 @@ def _encode_subframe(
     order, res = min(
         candidates.items(), key=lambda kv: float(np.sum(np.abs(kv[1])))
     )
-    # rice can't express enormous residuals; verbatim keeps the encoder
-    # always-correct (unreachable for bps<=32 inputs, kept as a guard)
-    if len(res) and int(np.max(np.abs(res))) >= (1 << 40):
+    # rice/escape can't express residuals beyond the 31-bit escape field
+    # (reachable at bps=32: order-2 residuals reach ~4x the sample range);
+    # verbatim keeps the encoder always-correct
+    if len(res) and int(np.max(np.abs(res.astype(np.int64)))) >= (1 << 30):
         header(1)
         for v in x:
             bw.write_signed(int(v), sbps)
@@ -562,17 +579,7 @@ def encode_flac(
         bw.write(channels - 1, 4)  # independent channels
         bw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
         bw.write(0, 1)
-        # UTF-8-coded frame number
-        fn = frame_no
-        if fn < 0x80:
-            bw.write(fn, 8)
-        elif fn < 0x800:
-            bw.write(0xC0 | (fn >> 6), 8)
-            bw.write(0x80 | (fn & 0x3F), 8)
-        else:
-            bw.write(0xE0 | (fn >> 12), 8)
-            bw.write(0x80 | ((fn >> 6) & 0x3F), 8)
-            bw.write(0x80 | (fn & 0x3F), 8)
+        _write_utf8_number(bw, frame_no)
         bw.write(bsz - 1, 16)
         bw.align()
         header_bytes = bw.getvalue()

@@ -118,6 +118,18 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compile cache: uncached compiles cost minutes per shape on
+    # remote-compile TPU backends (same setting bench.py uses)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache"),
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     weights, kind = load_model_weights(args, params)
 
     # -- stage: calibration (reference main.py:22-36) ------------------------

@@ -271,8 +271,12 @@ def _quant_lstm_recurrence(
     # 12 MB resident weight pair + per-tile f32 gate buffers fit under the
     # raised 64 MB scoped-vmem cap; 128 was the 16 MB-era choice).
     # Measured at N=1024 T=500: 256 is ~6% faster than 128, 512 neutral.
+    # Non-divisible N (e.g. 384) falls back to smaller power-of-two tiles
+    # rather than asserting.
     BN = int(_os.environ.get("RNNT_INT8_BN", "256"))
     BN = N if N <= BN else BN
+    while N % BN and BN > 8:
+        BN //= 2
     assert N % BN == 0, f"batch {N} is not a multiple of the {BN} kernel tile"
     nb = N // BN
     if nb == 1:

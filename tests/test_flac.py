@@ -268,6 +268,20 @@ def test_decoder_table_blocksize_code():
     np.testing.assert_array_equal(out[:, 0], np.full(bsz, -321))
 
 
+def test_utf8_coded_number_roundtrip():
+    """Writer == reader inverse across every lead-byte form (frame numbers
+    beyond 0x10000 = streams past ~4.7 h used to desync)."""
+    from rnnt_inference_tpu.data.flac import _read_utf8_number, _write_utf8_number
+
+    values = [0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000, 0x1FFFFF,
+              0x200000, 0x3FFFFFF, 0x4000000, (1 << 36) - 1]
+    bw = _BitWriter()
+    for v in values:
+        _write_utf8_number(bw, v)
+    br = _BitReader(bw.getvalue())
+    assert [_read_utf8_number(br) for _ in values] == values
+
+
 def test_bitreader_unary_across_bytes():
     bw = _BitWriter()
     bw.write_unary(0)

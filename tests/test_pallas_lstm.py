@@ -137,6 +137,44 @@ def test_quant_pallas_matches_xla_int8():
         )
 
 
+def test_quant_pallas_non_divisible_batch_tile():
+    """N=384 passes eligibility (N % 128 == 0) but is not a multiple of the
+    default 256 tile — the kernel must fall back to a smaller divisor tile
+    instead of asserting (regression for the BN=256 default)."""
+    import jax.numpy as jnp
+    from rnnt_inference_tpu.config import RNNTParams
+    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+    from rnnt_inference_tpu.models.weights import init_weights
+    from rnnt_inference_tpu.ops.lstm_int8 import quant_lstm_layer, quantize
+    from rnnt_inference_tpu.ops.lstm_pallas import quant_lstm_layer_pallas
+
+    params = RNNTParams(
+        trans_input_size=240,
+        trans_hidden_size=128,
+        pred_hidden_size=32,
+        joint_hidden_size=32,
+        max_res_len=64,
+    )
+    w = init_weights(jax.random.PRNGKey(2), params)
+    T, N = 3, 384
+    x = jax.random.normal(jax.random.PRNGKey(3), (T, N, params.trans_input_size))
+    lens = jnp.full((N,), T, jnp.int32)
+    calib = calibrate(w, [(x, lens)], params)
+    qw = quantize_weights(w, calib, params, compute_dtype=jnp.float32)
+    layer = qw.pre_rnn[0]
+    x_i8 = quantize(x, layer.in_scale)
+    h0 = jnp.zeros((N, 128), jnp.int8)
+    c0 = jnp.zeros((N, 128), jnp.float32)
+    y_ref, h_ref, _ = jax.jit(quant_lstm_layer, static_argnames="emit_f32")(
+        layer, x_i8, h0, c0, False
+    )
+    y_pal, h_pal, _ = quant_lstm_layer_pallas(
+        layer, x_i8, h0, c0, False, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(y_pal), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(h_pal), np.asarray(h_ref))
+
+
 def test_quant_stack_pallas_dispatch_matches():
     """quant_lstm_stack with pallas enabled == with xla, end to end."""
     import jax.numpy as jnp
