@@ -125,6 +125,10 @@ struct Test {
   BoundedQueue queue{4096};
   std::thread issuer;
   Clock::time_point t0;
+  // stamp_mu guards the three timestamp arrays: issuer threads and
+  // lg_complete write them while lg_report may read mid-run (the arrays
+  // are plain doubles, so unsynchronized access would be a data race)
+  std::mutex stamp_mu;
   std::vector<double> sched_time;     // per query: latency reference point
   std::vector<double> actual_time;    // per query: actual issue timestamp
   std::vector<double> complete_time;  // -1 until completed
@@ -181,8 +185,11 @@ void* lg_create(int64_t n_samples, double target_qps, int mode, uint64_t seed,
                     // bounded queue can backpressure without blocking create)
     t->issuer = std::thread([t, min_query_count] {
       for (int64_t q = 0; q < min_query_count && !t->stop; ++q) {
-        t->sched_time[q] = 0.0;
-        t->actual_time[q] = now_seconds(t->t0);
+        {
+          std::lock_guard<std::mutex> lk(t->stamp_mu);
+          t->sched_time[q] = 0.0;
+          t->actual_time[q] = now_seconds(t->t0);
+        }
         if (!t->queue.push(q)) return;
         t->issued.fetch_add(1);
       }
@@ -195,8 +202,11 @@ void* lg_create(int64_t n_samples, double target_qps, int mode, uint64_t seed,
         if (q >= min_query_count && now_seconds(t->t0) >= min_duration_s) break;
         if (!t->tokens.take(t->stop)) return;
         double ts = now_seconds(t->t0);
-        t->sched_time[q] = ts;  // latency from issue (no arrival schedule)
-        t->actual_time[q] = ts;
+        {
+          std::lock_guard<std::mutex> lk(t->stamp_mu);
+          t->sched_time[q] = ts;  // latency from issue (no arrival schedule)
+          t->actual_time[q] = ts;
+        }
         if (!t->queue.push(q)) return;
         t->issued.fetch_add(1);
       }
@@ -218,8 +228,11 @@ void* lg_create(int64_t n_samples, double target_qps, int mode, uint64_t seed,
         // Latency is charged from the SCHEDULED arrival: under overload the
         // actual push happens later (sleep skipped / queue backpressure) and
         // that lateness must count against the SUT, like loadgen does.
-        t->sched_time[q] = sched;
-        t->actual_time[q] = now_seconds(t->t0);
+        {
+          std::lock_guard<std::mutex> lk(t->stamp_mu);
+          t->sched_time[q] = sched;
+          t->actual_time[q] = now_seconds(t->t0);
+        }
         if (!t->queue.push(q)) return;
         t->issued.fetch_add(1);
       }
@@ -239,7 +252,10 @@ int lg_poll(void* h, int64_t* out, int n, int64_t timeout_us) {
 // Mark query complete (timestamped here, native clock).
 void lg_complete(void* h, int64_t query_id) {
   auto* t = static_cast<Test*>(h);
-  t->complete_time[query_id] = now_seconds(t->t0);
+  {
+    std::lock_guard<std::mutex> lk(t->stamp_mu);
+    t->complete_time[query_id] = now_seconds(t->t0);
+  }
   t->completed.fetch_add(1);
   t->tokens.post();  // unblocks the SingleStream issuer; no-op otherwise
 }
@@ -265,10 +281,13 @@ void lg_report(void* h, double* out) {
   std::vector<double> lat;
   lat.reserve(t->max_queries);
   double t_last = 0.0;
-  for (int64_t q = 0; q < t->max_queries; ++q) {
-    if (t->complete_time[q] >= 0 && t->sched_time[q] >= 0) {
-      lat.push_back((t->complete_time[q] - t->sched_time[q]) * 1e3);
-      t_last = std::max(t_last, t->complete_time[q]);
+  {
+    std::lock_guard<std::mutex> lk(t->stamp_mu);
+    for (int64_t q = 0; q < t->max_queries; ++q) {
+      if (t->complete_time[q] >= 0 && t->sched_time[q] >= 0) {
+        lat.push_back((t->complete_time[q] - t->sched_time[q]) * 1e3);
+        t_last = std::max(t_last, t->complete_time[q]);
+      }
     }
   }
   std::sort(lat.begin(), lat.end());

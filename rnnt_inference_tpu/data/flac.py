@@ -443,6 +443,10 @@ def _write_utf8_number(bw: _BitWriter, v: int) -> None:
     if v < 0x80:
         bw.write(v, 8)
         return
+    if v >= 1 << 36:
+        # the 7-byte form carries at most 36 payload bits; encoding a larger
+        # frame number would silently corrupt the lead byte — fail loudly
+        raise ValueError(f"UTF-8-coded number out of range (>= 2**36): {v}")
     for n_extra in range(1, 7):
         payload_bits = 6 - n_extra + 6 * n_extra  # lead bits + continuations
         if v < (1 << payload_bits):

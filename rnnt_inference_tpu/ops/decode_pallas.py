@@ -110,6 +110,13 @@ def unpad_state(h: jax.Array, P: int) -> jax.Array:
 
 
 def _decode_step_kernel(n_layers, blank, sos, max_sym, max_res_len, n_labels):
+    # trace-time gate selection (RNNT_GATE_ACT / set_gate_act), same switch
+    # ops/lstm.py and ops/lstm_pallas.py read — keeps the fused decode step
+    # token-identical to the XLA body under either activation implementation
+    from rnnt_inference_tpu.ops.activations import gate_fns
+
+    sigmoid, tanh = gate_fns()
+
     def kernel(
         fi_ref,       # (BN, J) f32
         pre_g_ref,    # (BN, 1) int32
@@ -163,8 +170,8 @@ def _decode_step_kernel(n_layers, blank, sos, max_sym, max_res_len, n_labels):
                 preferred_element_type=jnp.float32,
             )
             i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f) * cg_ref[l] + jax.nn.sigmoid(i) * jnp.tanh(g)
-            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            c_new = sigmoid(f) * cg_ref[l] + sigmoid(i) * tanh(g)
+            h_new = sigmoid(o) * tanh(c_new)
             y = h_new.astype(wdtype)
             h_new_l.append(y)
             c_new_l.append(c_new)

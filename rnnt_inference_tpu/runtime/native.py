@@ -16,24 +16,31 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 _SRC = os.path.join(_REPO_ROOT, "csrc", "rnnt_loadgen.cpp")
-_SO = os.path.join(_REPO_ROOT, "csrc", "librnnt_loadgen.so")
+# built artifact lives under csrc/build/ (gitignored; never commit the .so)
+_SO = os.path.join(_REPO_ROOT, "csrc", "build", "librnnt_loadgen.so")
 
 _lib = None
 _lock = threading.Lock()
+_build_error_reported = False
 
 
 def _build() -> str:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    subprocess.run(
+    proc = subprocess.run(
         ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread", _SRC, "-o", _SO],
-        check=True,
         capture_output=True,
+        text=True,
     )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"native loadgen build failed (g++ exit {proc.returncode}):\n"
+            f"{proc.stderr.strip()}"
+        )
     return _SO
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _build_error_reported
     with _lock:
         if _lib is not None:
             return _lib
@@ -43,7 +50,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ):
                 _build()
             lib = ctypes.CDLL(_SO)
-        except Exception:
+        except Exception as exc:
+            # a broken compile must be loud, not a silent feature downgrade;
+            # report the compiler stderr once per process
+            if not _build_error_reported:
+                _build_error_reported = True
+                import sys
+
+                print(
+                    f"[rnnt_inference_tpu] native loadgen unavailable: {exc}",
+                    file=sys.stderr,
+                    flush=True,
+                )
             return None
         lib.lg_create.restype = ctypes.c_void_p
         lib.lg_create.argtypes = [

@@ -158,8 +158,12 @@ def batch_plan(
         start = 0
         g = batch_size
         while start < n:
+            # clamp the cascade to the tile floor: for batch sizes that are
+            # not power-of-two multiples of the tile (e.g. 96 with tile 32)
+            # naive halving would land below the tile and mint odd compiled
+            # shapes (each a multi-minute uncached compile on this backend)
             while g > tile and g > n - start:
-                g //= 2
+                g = max(tile, g // 2)
             plan.append((S, rows[start : start + g], g))
             start += g
     return plan
