@@ -132,6 +132,10 @@ struct Test {
   std::vector<double> sched_time;     // per query: latency reference point
   std::vector<double> actual_time;    // per query: actual issue timestamp
   std::vector<double> complete_time;  // -1 until completed
+  // QoS-deferred queries (over-long samples parked until the issue stream
+  // drains, reference csrc/torch_sut.cpp:384-417): their completions land
+  // AFTER the measured window and must not pollute the live percentiles
+  std::vector<uint8_t> deferred;
   std::atomic<int64_t> issued{0};
   std::atomic<int64_t> completed{0};
   std::atomic<bool> done_issuing{false};
@@ -179,6 +183,7 @@ void* lg_create(int64_t n_samples, double target_qps, int mode, uint64_t seed,
   t->sched_time.assign(t->max_queries, -1.0);
   t->actual_time.assign(t->max_queries, -1.0);
   t->complete_time.assign(t->max_queries, -1.0);
+  t->deferred.assign(t->max_queries, 0);
   t->t0 = Clock::now();
 
   if (mode == 1) {  // Offline: everything at t=0 (issuer thread only so the
@@ -260,6 +265,15 @@ void lg_complete(void* h, int64_t query_id) {
   t->tokens.post();  // unblocks the SingleStream issuer; no-op otherwise
 }
 
+// Flag a query as QoS-deferred: its completion is excluded from the live
+// latency percentiles and reported separately (reference drains mQosQueue_
+// only after FlushQueries, i.e. outside the measured window).
+void lg_mark_deferred(void* h, int64_t query_id) {
+  auto* t = static_cast<Test*>(h);
+  std::lock_guard<std::mutex> lk(t->stamp_mu);
+  t->deferred[query_id] = 1;
+}
+
 int64_t lg_completed(void* h) { return static_cast<Test*>(h)->completed.load(); }
 int64_t lg_issued(void* h) { return static_cast<Test*>(h)->issued.load(); }
 int64_t lg_n_samples(void* h) { return static_cast<Test*>(h)->n_samples; }
@@ -274,19 +288,31 @@ int64_t lg_done_issuing(void* h) {
   return static_cast<Test*>(h)->done_issuing.load() ? 1 : 0;
 }
 
-// Latency stats over completed queries, milliseconds.
-// out: [count, mean, p50, p90, p99, max, wall_seconds, qps, issued]
+// Latency stats over completed queries, milliseconds.  The percentile pool
+// covers only LIVE (non-deferred) completions; QoS-deferred completions are
+// summarized separately in out[9..11].
+// out: [count, mean, p50, p90, p99, max, wall_seconds, qps, issued,
+//       deferred_count, deferred_mean, deferred_max]
 void lg_report(void* h, double* out) {
   auto* t = static_cast<Test*>(h);
   std::vector<double> lat;
   lat.reserve(t->max_queries);
   double t_last = 0.0;
+  int64_t n_def = 0;
+  double def_sum = 0.0, def_max = 0.0;
   {
     std::lock_guard<std::mutex> lk(t->stamp_mu);
     for (int64_t q = 0; q < t->max_queries; ++q) {
       if (t->complete_time[q] >= 0 && t->sched_time[q] >= 0) {
-        lat.push_back((t->complete_time[q] - t->sched_time[q]) * 1e3);
+        double ms = (t->complete_time[q] - t->sched_time[q]) * 1e3;
         t_last = std::max(t_last, t->complete_time[q]);
+        if (t->deferred[q]) {
+          ++n_def;
+          def_sum += ms;
+          def_max = std::max(def_max, ms);
+        } else {
+          lat.push_back(ms);
+        }
       }
     }
   }
@@ -309,8 +335,11 @@ void lg_report(void* h, double* out) {
   out[4] = pct(99);
   out[5] = lat.empty() ? 0.0 : lat.back();
   out[6] = t_last;
-  out[7] = t_last > 0 ? lat.size() / t_last : 0.0;
+  out[7] = t_last > 0 ? (lat.size() + n_def) / t_last : 0.0;
   out[8] = static_cast<double>(t->issued.load());
+  out[9] = static_cast<double>(n_def);
+  out[10] = n_def ? def_sum / n_def : 0.0;
+  out[11] = def_max;
 }
 
 }  // extern "C"

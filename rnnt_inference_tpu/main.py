@@ -64,6 +64,10 @@ def parse_args(argv=None):
                    help="write a jax.profiler device trace of the run here "
                         "(reference: csrc/utils.hpp ProfileRecord)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a JAX platform (e.g. cpu) — set via config "
+                        "update because JAX_PLATFORMS env can be overridden "
+                        "by site customizations")
     return p.parse_args(argv)
 
 
@@ -118,6 +122,8 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     # persistent compile cache: uncached compiles cost minutes per shape on
     # remote-compile TPU backends (same setting bench.py uses)
     jax.config.update(
@@ -190,9 +196,38 @@ def _write_summary(args, summary):
 
 
 def _run_scenario(args, weights, store, params, cfg):
+    import numpy as np
+
+    from rnnt_inference_tpu.runtime.config import TestSettings, validate_report
+
+    settings = TestSettings.from_conf(
+        args.mlperf_conf, args.user_conf, "rnnt", args.scenario
+    )
+    # performance runs load exactly performance_sample_count samples into
+    # the QSL and cycle queries over them (reference configs/mlperf.conf
+    # rnnt override = 2513, csrc/rnnt_qsl.hpp:42-46); accuracy runs cover
+    # the full set
+    if not args.accuracy and len(store) > settings.performance_sample_count:
+        store = store.select(np.arange(settings.performance_sample_count))
+
     if args.scenario == "Offline":
         from rnnt_inference_tpu.runtime.harness import run_offline
 
+        if args.native_loadgen and not args.accuracy:
+            from rnnt_inference_tpu.runtime.harness import run_offline_native
+
+            report = run_offline_native(
+                weights, store, params, cfg,
+                batch_size=args.batch_size,
+                split_len=args.split_len,
+                target_qps=settings.target_qps,
+                min_query_count=settings.min_query_count,
+                min_duration_s=settings.min_duration_ms / 1e3,
+                samples_per_query=settings.samples_per_query,
+                performance_sample_count=settings.performance_sample_count,
+            )
+            _write_summary(args, validate_report(settings, report.summary()))
+            return
         report = run_offline(
             weights, store, params, cfg,
             batch_size=args.batch_size,
@@ -203,14 +238,10 @@ def _run_scenario(args, weights, store, params, cfg):
         )
         print(json.dumps(report.summary(), indent=2))
     elif args.scenario == "Server":
-        from rnnt_inference_tpu.runtime.config import TestSettings, validate_report
         from rnnt_inference_tpu.runtime.harness import tokens_to_hex
         from rnnt_inference_tpu.runtime.scheduler import run_server
         from rnnt_inference_tpu.runtime.server import ServerRunner
 
-        settings = TestSettings.from_conf(
-            args.mlperf_conf, args.user_conf, "rnnt", "Server"
-        )
         runner = ServerRunner(
             weights, params, cfg,
             slots=args.server_slots,
@@ -247,12 +278,8 @@ def _run_scenario(args, weights, store, params, cfg):
             with open(os.path.join(args.output_dir, "accuracy_log.json"), "w") as f:
                 json.dump(acc, f)
     elif args.scenario == "SingleStream":
-        from rnnt_inference_tpu.runtime.config import TestSettings, validate_report
         from rnnt_inference_tpu.runtime.harness import run_single_stream
 
-        settings = TestSettings.from_conf(
-            args.mlperf_conf, args.user_conf, "rnnt", "SingleStream"
-        )
         if args.native_loadgen:
             from rnnt_inference_tpu.runtime.harness import run_single_stream_native
 

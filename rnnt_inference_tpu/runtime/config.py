@@ -68,7 +68,12 @@ class TestSettings:
         if user_conf:
             merged.update(parse_conf(user_conf))  # user.conf overlays
 
-        g = lambda key, default: lookup(merged, model, scenario, key) or default
+        def g(key, default):
+            # explicit None check: a conf value of 0 (e.g. min_duration = 0
+            # in a user.conf) is a legitimate setting, not "use the default"
+            v = lookup(merged, model, scenario, key)
+            return default if v is None else v
+
         pct = lookup(merged, model, scenario, "target_latency_percentile")
         return cls(
             scenario=scenario,

@@ -81,6 +81,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
         ]
         lib.lg_complete.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.lg_mark_deferred.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         for name in ("lg_completed", "lg_issued", "lg_pending", "lg_done_issuing",
                      "lg_n_samples"):
             fn = getattr(lib, name)
@@ -133,6 +134,13 @@ class NativeLoadGen:
     def complete(self, query_id: int) -> None:
         self._lib.lg_complete(self._h, query_id)
 
+    def mark_deferred(self, query_id: int) -> None:
+        """Flag a QoS-deferred query: its completion is excluded from the
+        live latency percentiles and reported separately (the reference
+        drains its QoS queue only after FlushQueries — outside the measured
+        window, csrc/torch_sut.cpp:384-417)."""
+        self._lib.lg_mark_deferred(self._h, query_id)
+
     @property
     def completed(self) -> int:
         return int(self._lib.lg_completed(self._h))
@@ -155,10 +163,13 @@ class NativeLoadGen:
         return self.done_issuing and self.completed >= self.issued
 
     def report(self) -> dict:
-        out = (ctypes.c_double * 9)()
+        """Latency summary.  Percentiles cover LIVE completions only;
+        QoS-deferred completions (mark_deferred) are reported separately."""
+        out = (ctypes.c_double * 12)()
         self._lib.lg_report(self._h, out)
         return dict(
-            completed=int(out[0]),
+            completed=int(out[0]) + int(out[9]),
+            completed_live=int(out[0]),
             latency_ms_mean=round(out[1], 2),
             latency_ms_p50=round(out[2], 2),
             latency_ms_p90=round(out[3], 2),
@@ -167,6 +178,9 @@ class NativeLoadGen:
             wall_seconds=round(out[6], 3),
             qps=round(out[7], 2),
             issued=int(out[8]),
+            deferred_completed=int(out[9]),
+            deferred_ms_mean=round(out[10], 2),
+            deferred_ms_max=round(out[11], 2),
         )
 
     def close(self) -> None:

@@ -130,14 +130,26 @@ class OfflineRunner:
 
     # -- warmup: compile the bucket ladder ----------------------------------
 
-    def warmup(self, qsl: QuerySampleLibrary, waveform_mode: bool = True) -> float:
+    def warmup(
+        self,
+        qsl: QuerySampleLibrary,
+        waveform_mode: bool = True,
+        packed: bool = False,
+    ) -> float:
+        """packed=True compiles the int16-in/packed-int8-out pipeline the
+        native SingleStream path serves with, instead of the f32 one."""
         t0 = time.time()
         # np.asarray (not block_until_ready) — the latter is unreliable on
         # relayed backends; a tiny host readback guarantees compile+execute.
         if waveform_mode:
             for S in qsl.wav_buckets:
-                wav = jnp.zeros((self.batch_size, S), jnp.float32)
                 lens = jnp.full((self.batch_size,), S, jnp.int32)
+                if packed:
+                    wav = jnp.zeros((self.batch_size, S), jnp.int16)
+                    out = self._pipeline_i16(self.weights, wav, lens)
+                    np.asarray(out[:1, -1])
+                    continue
+                wav = jnp.zeros((self.batch_size, S), jnp.float32)
                 _, rl = self._pipeline(self.weights, wav, lens)
                 np.asarray(rl)
         else:

@@ -34,6 +34,10 @@ from rnnt_inference_tpu.runtime.server import ServerRunner
 @dataclass
 class ServerMetrics:
     latencies_ms: Dict[int, float] = field(default_factory=dict)
+    # QoS-deferred queries (parked past the measured window, reference
+    # csrc/torch_sut.cpp:384-417) are tracked separately: their multi-minute
+    # park times must not pollute the live-traffic percentiles
+    deferred_latencies_ms: Dict[int, float] = field(default_factory=dict)
     issued: int = 0
     completed: int = 0
     wall_seconds: float = 0.0
@@ -44,7 +48,7 @@ class ServerMetrics:
         return float(np.percentile(list(self.latencies_ms.values()), p))
 
     def summary(self) -> dict:
-        return dict(
+        d = dict(
             scenario="Server",
             completed=self.completed,
             wall_seconds=round(self.wall_seconds, 3),
@@ -53,6 +57,12 @@ class ServerMetrics:
             latency_ms_p90=round(self.percentile(90), 1),
             latency_ms_p99=round(self.percentile(99), 1),
         )
+        if self.deferred_latencies_ms:
+            vals = list(self.deferred_latencies_ms.values())
+            d["deferred_completed"] = len(vals)
+            d["deferred_ms_mean"] = round(float(np.mean(vals)), 1)
+            d["deferred_ms_max"] = round(float(np.max(vals)), 1)
+        return d
 
 
 def poisson_schedule(n: int, target_qps: float, seed: int = 0) -> np.ndarray:
@@ -100,6 +110,7 @@ def run_server(
     results: Dict[int, np.ndarray] = {}
     issue_times: Dict[int, float] = {}
     deferred: List[int] = []
+    deferred_set = set()
 
     t_start = time.time()
     next_i = 0
@@ -122,7 +133,16 @@ def run_server(
         now = time.time()
         for query_id, tokens in pairs:
             results[query_id] = tokens
-            metrics.latencies_ms[query_id] = (now - issue_times[query_id]) * 1e3
+            lat = (now - issue_times[query_id]) * 1e3
+            # QoS-deferred completions land after the measured window and
+            # are summarized separately (reference drains mQosQueue_ only
+            # after FlushQueries, csrc/torch_sut.cpp:384-417)
+            pool = (
+                metrics.deferred_latencies_ms
+                if query_id in deferred_set
+                else metrics.latencies_ms
+            )
+            pool[query_id] = lat
             metrics.completed += 1
 
     def drain_inflight(force: bool) -> None:
@@ -155,6 +175,7 @@ def run_server(
             issue_times[q] = stamp
             if store.samples[sample_of(q)].shape[0] > qos_len:
                 deferred.append(q)
+                deferred_set.add(q)
                 continue
             batch.append(q)
         # drain deferred QoS samples once the main stream is exhausted
@@ -244,6 +265,7 @@ def run_server_native(
             if room:
                 for q in lg.poll(max_n=room, timeout_us=500):
                     if store.samples[lg.sample_of(q)].shape[0] > qos_len:
+                        lg.mark_deferred(q)  # excluded from live percentiles
                         deferred.append(q)
                     else:
                         batch.append(q)

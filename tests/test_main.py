@@ -99,3 +99,82 @@ def test_single_stream_benchmark(tmp_path):
     summary = json.load(open(os.path.join(out_dir, "summary.json")))
     assert summary["scenario"] == "SingleStream"
     assert summary["result_validity"] in ("VALID", "INVALID")
+
+
+def test_offline_native_benchmark_with_psc(tmp_path):
+    """Offline performance run through the native issuer: the conf's
+    performance_sample_count restricts the QSL and min_query_count cycles
+    queries over it (reference: configs/mlperf.conf:13, csrc/main.cpp:108-147
+    where loadgen owns Offline timing)."""
+    store_path = _tiny_store(tmp_path, n=5, seed=2)
+    conf = tmp_path / "user.conf"
+    conf.write_text(
+        "rnnt.*.performance_sample_count_override = 3\n"
+        "rnnt.Offline.min_query_count = 7\n"
+        "rnnt.Offline.min_duration = 0\n"
+        "rnnt.Offline.target_qps = 10\n"
+    )
+    out_dir = str(tmp_path / "out_native")
+    main([
+        "--benchmark", "--scenario", "Offline", "--native_loadgen",
+        "--sample_file", store_path,
+        "--batch_size", "4",
+        "--user_conf", str(conf),
+        "--output_dir", out_dir,
+    ])
+    summary = json.load(open(os.path.join(out_dir, "summary.json")))
+    assert summary["scenario"] == "Offline"
+    assert summary["performance_sample_count"] == 3
+    assert summary["completed"] == 7
+    assert summary["timing"] == "native"
+    assert summary["result_validity"] in ("VALID", "INVALID")
+
+
+def test_cmp_res_golden_diff_flow(tmp_path):
+    """The golden-diff workflow (reference tests/cmp_res.py): produce
+    hypotheses.log from two runs' accuracy logs and diff them.  A re-run of
+    the same quant model must be transcript-identical (determinism gate);
+    the fake_quant-vs-quant diff exercises the mismatch-reporting path."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from cmp_res import main as cmp_main
+
+    from rnnt_inference_tpu.runtime.harness import hex_to_tokens
+    from rnnt_inference_tpu.utils.labels import seq_to_sen
+
+    store_path = _tiny_store(tmp_path, n=3, seed=5)
+    calib_path = str(tmp_path / "calib.npz")
+    quant_path = str(tmp_path / "quant.npz")
+    main([
+        "--run_mode", "f32",
+        "--calibration", "--calib_file", store_path,
+        "--calib_out", calib_path,
+        "--save_quant", "--calib_in", calib_path,
+        "--quant_out", quant_path,
+        "--batch_size", "4",
+    ])
+
+    def run_and_dump(out_name, extra):
+        out_dir = str(tmp_path / out_name)
+        main(extra + [
+            "--accuracy", "--scenario", "Offline",
+            "--sample_file", store_path,
+            "--batch_size", "4",
+            "--output_dir", out_dir,
+        ])
+        acc = json.load(open(os.path.join(out_dir, "accuracy_log.json")))
+        log = str(tmp_path / f"{out_name}.hyp.log")
+        with open(log, "w") as f:
+            for e in acc:
+                seq = hex_to_tokens(e["data"])
+                f.write(f"{e['qsl_idx']}::{seq_to_sen(seq, len(seq))}\n")
+        return log
+
+    quant_a = run_and_dump("out_qa", ["--quant_in", quant_path])
+    quant_b = run_and_dump("out_qb", ["--quant_in", quant_path])
+    fq = run_and_dump(
+        "out_fq2", ["--run_mode", "fake_quant", "--calib_in", calib_path]
+    )
+    assert cmp_main([quant_a, quant_b]) == 0  # deterministic re-run
+    cmp_main([quant_a, fq])  # mismatch path runs (count may be non-zero)

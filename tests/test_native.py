@@ -223,3 +223,102 @@ def test_single_stream_e2e_native():
     assert s["completed"] == 5
     assert s["latency_ms_p90"] >= s["latency_ms_p50"] > 0
     assert report.hypotheses == offline.hypotheses
+
+
+def test_report_deferred_excluded_from_percentiles():
+    """QoS-deferred completions must not pollute the live percentile pool
+    (reference drains its QoS queue only after FlushQueries —
+    csrc/torch_sut.cpp:384-417); they are reported separately."""
+    n = 20
+    lg = NativeLoadGen(n, target_qps=10000.0, mode="Server", seed=3)
+    got = []
+    while len(got) < n:
+        got.extend(lg.poll(max_n=64, timeout_us=100000))
+    # complete 19 quickly; defer one and complete it much later
+    deferred_q = got[-1]
+    lg.mark_deferred(deferred_q)
+    for q in got[:-1]:
+        lg.complete(q)
+    time.sleep(0.5)
+    lg.complete(deferred_q)
+    rep = lg.report()
+    assert rep["completed"] == n
+    assert rep["completed_live"] == n - 1
+    assert rep["deferred_completed"] == 1
+    assert rep["deferred_ms_max"] >= 500.0
+    # the >=500 ms deferred latency must not show up in the live pool
+    assert rep["latency_ms_max"] < 500.0
+    assert rep["latency_ms_p99"] < 500.0
+    lg.close()
+
+
+def test_offline_native_rules_e2e():
+    """Native-issuer Offline run: performance_sample_count restricts the
+    QSL, queries cycle over it, min_query_count is honored, and first-cycle
+    tokens match the plain Offline runner."""
+    import jax
+
+    from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+    from rnnt_inference_tpu.data.dataset import SampleStore
+    from rnnt_inference_tpu.models.weights import init_weights
+    from rnnt_inference_tpu.runtime.harness import run_offline, run_offline_native
+
+    SMALL = RNNTParams(
+        trans_input_size=240,
+        trans_hidden_size=64,
+        pred_hidden_size=32,
+        joint_hidden_size=32,
+        max_res_len=128,
+    )
+    cfg = FeaturizerConfig()
+    store = SampleStore.synthetic(
+        n=5, seed=7, min_seconds=0.3, max_seconds=1.0, mean_seconds=0.6
+    )
+    w = init_weights(jax.random.PRNGKey(2), SMALL)
+
+    report = run_offline_native(
+        w, store, SMALL, cfg, batch_size=4,
+        target_qps=10.0, min_query_count=7, min_duration_s=0.0,
+        performance_sample_count=3, warmup=False,
+    )
+    assert report.extra["performance_sample_count"] == 3
+    assert report.extra["queries"] == 7
+    assert report.extra["completed"] == 7  # 3 + 3 + 1 across 3 cycles
+    assert report.extra["cycles"] == 3
+    assert report.extra["timing"] == "native"
+    assert report.wall_seconds > 0
+
+    sub = store.select(np.arange(3))
+    offline = run_offline(w, sub, SMALL, cfg, batch_size=4, warmup=False)
+    assert report.hypotheses == offline.hypotheses
+
+
+def test_offline_native_duration_rule_sizes_queries():
+    """Offline effective sample count = max(min_query_count,
+    target_qps * min_duration) — the loadgen Offline sizing rule."""
+    import jax
+
+    from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+    from rnnt_inference_tpu.data.dataset import SampleStore
+    from rnnt_inference_tpu.models.weights import init_weights
+    from rnnt_inference_tpu.runtime.harness import run_offline_native
+
+    SMALL = RNNTParams(
+        trans_input_size=240,
+        trans_hidden_size=64,
+        pred_hidden_size=32,
+        joint_hidden_size=32,
+        max_res_len=128,
+    )
+    store = SampleStore.synthetic(
+        n=3, seed=7, min_seconds=0.3, max_seconds=0.8, mean_seconds=0.5
+    )
+    w = init_weights(jax.random.PRNGKey(2), SMALL)
+    # qps 100 * 0.05 s duration -> 5 queries beats min_query_count 2
+    report = run_offline_native(
+        w, store, SMALL, FeaturizerConfig(), batch_size=4,
+        target_qps=100.0, min_query_count=2, min_duration_s=0.05,
+        warmup=False,
+    )
+    assert report.extra["queries"] == 5
+    assert report.extra["completed"] == 5

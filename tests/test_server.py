@@ -139,3 +139,34 @@ def test_validate_report_verdict():
     short = dict(good, wall_seconds=0.5, completed=5)
     out = validate_report(st, short)
     assert len(out["invalid_reasons"]) == 2
+
+
+def test_qos_deferred_excluded_from_percentiles():
+    """Regression: an over-qos_len sample parked until the stream drains
+    must not blow the live p99 — its (multi-second park) latency belongs in
+    the separate deferred pool (reference: csrc/torch_sut.cpp:384-417)."""
+    store = SampleStore.synthetic(
+        n=6, seed=4, min_seconds=0.3, max_seconds=1.2, mean_seconds=0.6
+    )
+    w = init_weights(jax.random.PRNGKey(1), SMALL)
+    runner = ServerRunner(
+        w, SMALL, CFG, slots=4, split_len=4, max_frames=64, insert_batch=2
+    )
+    qos_len = 8000  # 0.5 s: defers the longer samples
+    n_long = sum(1 for s in store.samples if s.shape[0] > qos_len)
+    assert 0 < n_long < len(store)
+    metrics, results = run_server(
+        runner, store, target_qps=1000.0, realtime=False, max_wall_s=120.0,
+        qos_len=qos_len,
+    )
+    assert metrics.completed == len(store)
+    assert len(metrics.deferred_latencies_ms) == n_long
+    assert len(metrics.latencies_ms) == len(store) - n_long
+    summary = metrics.summary()
+    assert summary["deferred_completed"] == n_long
+    # live percentiles computed over the live pool only
+    import numpy as _np
+
+    assert summary["latency_ms_p99"] == round(
+        float(_np.percentile(list(metrics.latencies_ms.values()), 99)), 1
+    )
