@@ -75,3 +75,23 @@ def download_librispeech(
             continue
         tar = download_file(url, os.path.join(dest_dir, f"{name}.tar.gz"), md5)
         extract(tar, dest_dir)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser("download_librispeech")
+    p.add_argument("--download_dir", required=True,
+                   help="where tarballs land and subsets are extracted")
+    p.add_argument("--subsets", nargs="*", default=None,
+                   help="subset names (default: all in the CSV/built-ins)")
+    p.add_argument("--input_csv", default=None,
+                   help="subset,url,md5 CSV (reference "
+                        "configs/librispeech-inference.csv)")
+    args = p.parse_args(argv)
+    os.makedirs(args.download_dir, exist_ok=True)
+    download_librispeech(args.download_dir, args.subsets, args.input_csv)
+
+
+if __name__ == "__main__":
+    main()

@@ -415,6 +415,25 @@ def decode_flac(data: bytes, verify_crc: bool = True) -> Tuple[np.ndarray, int, 
     return samples.astype(np.int32), sr, bps
 
 
+def flac_stream_info(path: str) -> Tuple[int, int]:
+    """Read only the STREAMINFO header -> (total_samples, sample_rate).
+
+    Cheap duration probe (a few hundred bytes of IO, no frame decode) for
+    manifest building over a corpus — the full decode of 5+ hours of audio
+    stays in the conversion stage where it is parallelized."""
+    with open(path, "rb") as f:
+        data = f.read(4 + 4 + 34)  # marker + block header + STREAMINFO
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC marker)")
+    if data[4] & 0x7F != 0:
+        raise ValueError("first metadata block is not STREAMINFO")
+    si = data[8 : 8 + 34]
+    bits = int.from_bytes(si[10:18], "big")
+    sr = (bits >> 44) & 0xFFFFF
+    total = bits & ((1 << 36) - 1)
+    return total, sr
+
+
 def load_flac(path: str) -> Tuple[np.ndarray, int]:
     """FLAC file -> (float32 mono samples in [-1, 1], sample_rate): the
     load_wav contract (int -> float scaling of the reference's AudioSegment,

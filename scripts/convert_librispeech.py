@@ -19,10 +19,50 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def build_manifest_from_dir(input_dir: str, out_path: str) -> int:
+    """Scan a raw LibriSpeech subset directory into a manifest JSON.
+
+    LibriSpeech layout: `<spk>/<chap>/<spk>-<chap>.trans.txt` lines of
+    `<utt-id> TRANSCRIPT`, one `<utt-id>.flac` per line (reference scans the
+    same tree: datasets/convert_librispeech.py:87-108).  Durations come from
+    each file's STREAMINFO header — no frame decode."""
+    import glob
+    import json
+
+    from rnnt_inference_tpu.data.flac import flac_stream_info
+
+    entries = []
+    for txt in sorted(
+        glob.glob(os.path.join(input_dir, "**", "*.trans.txt"), recursive=True)
+    ):
+        chap_dir = os.path.dirname(txt)
+        with open(txt) as f:
+            for line in f:
+                utt_id, _, transcript = line.strip().partition(" ")
+                if not utt_id:
+                    continue
+                flac_path = os.path.join(chap_dir, utt_id + ".flac")
+                total, sr = flac_stream_info(flac_path)
+                entries.append(
+                    {
+                        "audio_filepath": os.path.relpath(flac_path, input_dir),
+                        "duration": total / sr,
+                        "transcript": transcript,
+                    }
+                )
+    with open(out_path, "w") as f:
+        json.dump(entries, f)
+    return len(entries)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_dir", type=str, default="")
-    p.add_argument("--manifest", type=str, required=True)
+    p.add_argument("--input_dir", type=str, default=None,
+                   help="raw LibriSpeech subset dir (e.g. .../dev-clean): "
+                        "scans */*/*.trans.txt into a manifest first, then "
+                        "converts (reference --input_dir mode)")
+    p.add_argument("--manifest", type=str, default=None)
     p.add_argument("--output", type=str, required=True)
     p.add_argument("--max_duration", type=float, default=15.0)
     p.add_argument("--calib_list", type=str, default=None,
@@ -44,6 +84,16 @@ def main():
         compute_features_store,
         convert_librispeech,
     )
+
+    if args.input_dir:
+        stem = args.output[:-4] if args.output.endswith(".npz") else args.output
+        manifest_path = stem + ".manifest.json"
+        n = build_manifest_from_dir(args.input_dir, manifest_path)
+        print(f"scanned {args.input_dir}: {n} utterances -> {manifest_path}")
+        args.manifest = manifest_path
+        args.data_dir = args.data_dir or args.input_dir
+    if not args.manifest:
+        p.error("need --manifest or --input_dir")
 
     store = convert_librispeech(
         args.data_dir, args.manifest, args.output, args.max_duration,

@@ -10,11 +10,15 @@ cd "$(dirname "$0")/.."
 
 echo "== python deps =="
 python - <<'EOF'
-import importlib
+import importlib, os
 for mod in ("jax", "jaxlib", "numpy", "scipy"):
     m = importlib.import_module(mod)
     print(f"  {mod} {getattr(m, '__version__', '?')}")
 import jax
+# PLATFORM=cpu skips touching the accelerator (config update, not env var:
+# site customizations can override JAX_PLATFORMS)
+if os.environ.get("PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PLATFORM"])
 print(f"  backend: {jax.default_backend()} devices={jax.devices()}")
 EOF
 

@@ -1,0 +1,135 @@
+#!/bin/bash
+# Staged end-to-end orchestrator (reference: run.sh:13-79, stages -2..5).
+#
+# One command takes a bare machine to accuracy + performance results:
+#
+#   STAGE=-1 ./scripts/run.sh        # everything: prepare -> download ->
+#                                    # convert -> calibrate -> quantize ->
+#                                    # Offline/Server accuracy + performance
+#   STAGE=3  ./scripts/run.sh        # resume from calibration
+#   STAGE=5 SYNTHETIC_ONLY=true ./scripts/run.sh   # serve synthetic data
+#
+# Stages (each runs if STAGE <= n, mirroring the reference's gating):
+#   -1  environment check + native loadgen build     (prepare_env.sh)
+#    0  download the zenodo f32 checkpoint            (run.sh:30)
+#    1  download LibriSpeech dev-clean + train-clean-100
+#    2  convert to SampleStore .npz (waveforms + features + calib list)
+#    3  calibrate (activation amaxes over the calibration subset)
+#    4  quantize (int8 weights + scales)
+#    5  run Offline/Server accuracy + performance
+#
+# Without network or corpus, stages 0-2 print a skip notice and stage 3/5
+# fall back to synthetic data so the full flow is exercisable anywhere.
+# QUICK=true shrinks the loadgen rules (minutes, not the 600 s MLPerf
+# minimum); PLATFORM=cpu additionally forces the CPU backend — together a
+# toolchain smoke run: QUICK=true PLATFORM=cpu STAGE=-1 ./scripts/run.sh
+set -e
+cd "$(dirname "$0")/.."
+
+STAGE=${STAGE:--1}
+WORK_DIR=${WORK_DIR:-work}
+DATA_DIR=${DATA_DIR:-$WORK_DIR/LibriSpeech}
+MODEL=${MODEL:-$WORK_DIR/rnnt.pt}
+MODEL_URL=${MODEL_URL:-"https://zenodo.org/record/3662521/files/DistributedDataParallel_1576581068.9962234-epoch-100.pt?download=1"}
+CALIB_OUT=${CALIB_OUT:-$WORK_DIR/rnnt_calib.npz}
+QUANT_OUT=${QUANT_OUT:-$WORK_DIR/rnnt_quant.npz}
+DEV_CLEAN=${DEV_CLEAN:-$WORK_DIR/dev-clean.npz}
+TRAIN_CALIB=${TRAIN_CALIB:-$WORK_DIR/train-calib.npz}
+SYNTHETIC_ONLY=${SYNTHETIC_ONLY:-false}
+QUICK=${QUICK:-false}            # tiny rule overrides: exercise every stage
+                                 # in minutes instead of the 600 s MLPerf rules
+mkdir -p "$WORK_DIR"
+
+if [ "$QUICK" = "true" ]; then
+  cat > "$WORK_DIR/quick.conf" <<CONF
+rnnt.*.min_duration = 0
+rnnt.Offline.min_query_count = 64
+rnnt.Server.min_query_count = 64
+rnnt.Offline.target_qps = 100
+rnnt.Server.target_qps = 50
+CONF
+  export USER_CONF="$WORK_DIR/quick.conf"
+  export SYNTHETIC=${SYNTHETIC:-64}
+fi
+
+have_corpus() { [ -d "$DATA_DIR/dev-clean" ]; }
+have_net() { [ "${SYNTHETIC_ONLY}" != "true" ]; }
+
+if [ "$STAGE" -le -1 ]; then
+  echo '==> Stage -1: preparing environment'
+  ./scripts/prepare_env.sh
+fi
+
+if [ "$STAGE" -le 0 ]; then
+  echo '==> Stage 0: downloading model checkpoint'
+  if [ -f "$MODEL" ]; then
+    echo "    $MODEL already present"
+  elif have_net && command -v wget >/dev/null && wget -q --spider "$MODEL_URL" 2>/dev/null; then
+    wget "$MODEL_URL" -O "$MODEL"
+  else
+    echo "    no network access — skipping (runs will use random weights;"
+    echo "    place the zenodo checkpoint at $MODEL to use real weights)"
+  fi
+fi
+
+if [ "$STAGE" -le 1 ]; then
+  echo '==> Stage 1: downloading LibriSpeech'
+  if have_corpus; then
+    echo "    $DATA_DIR/dev-clean already present"
+  elif have_net; then
+    python -m rnnt_inference_tpu.data.download \
+      --download_dir "$DATA_DIR" \
+      --subsets dev-clean train-clean-100 || \
+      echo '    download failed (no network?) — later stages fall back to synthetic data'
+  else
+    echo '    SYNTHETIC_ONLY=true — skipping'
+  fi
+fi
+
+if [ "$STAGE" -le 2 ]; then
+  echo '==> Stage 2: converting dataset'
+  if have_corpus; then
+    python scripts/convert_librispeech.py \
+      --input_dir "$DATA_DIR/LibriSpeech/dev-clean" \
+      --output "$DEV_CLEAN" --features --workers "${WORKERS:-8}"
+    if [ -d "$DATA_DIR/LibriSpeech/train-clean-100" ]; then
+      python scripts/convert_librispeech.py \
+        --input_dir "$DATA_DIR/LibriSpeech/train-clean-100" \
+        --output "$TRAIN_CALIB" --workers "${WORKERS:-8}" \
+        ${CALIB_LIST:+--calib_list "$CALIB_LIST"}
+    fi
+  else
+    echo '    corpus absent — skipping (calibration/serving use synthetic data)'
+  fi
+fi
+
+if [ "$STAGE" -le 3 ]; then
+  echo '==> Stage 3+4: calibrate + quantize'
+  CAL_ARGS=(CALIB_OUT="$CALIB_OUT" QUANT_OUT="$QUANT_OUT")
+  [ -f "$MODEL" ] && CAL_ARGS+=(MODEL="$MODEL")
+  [ -f "$TRAIN_CALIB" ] && CAL_ARGS+=(CALIB_FILE="$TRAIN_CALIB")
+  env "${CAL_ARGS[@]}" ./scripts/calibrate.sh
+elif [ "$STAGE" -le 4 ]; then
+  echo '==> Stage 4: quantize'
+  ARGS=(--run_mode f32 --save_quant --calib_in "$CALIB_OUT" --quant_out "$QUANT_OUT" --synthetic 1)
+  [ -f "$MODEL" ] && ARGS+=(--model "$MODEL")
+  python -m rnnt_inference_tpu.main "${ARGS[@]}"
+fi
+
+if [ "$STAGE" -le 5 ]; then
+  SAMPLES=""
+  [ -f "$DEV_CLEAN" ] && SAMPLES="$DEV_CLEAN"
+  echo '==> Stage 5: Offline accuracy'
+  QUANT="$QUANT_OUT" SAMPLE_FILE="$SAMPLES" OUTPUT_DIR="$WORK_DIR/out/offline_acc" \
+    ACCURACY=true ./scripts/run_offline.sh
+  echo '==> Stage 5: Offline performance'
+  QUANT="$QUANT_OUT" SAMPLE_FILE="$SAMPLES" OUTPUT_DIR="$WORK_DIR/out/offline_perf" \
+    ./scripts/run_offline.sh
+  echo '==> Stage 5: Server accuracy'
+  QUANT="$QUANT_OUT" SAMPLE_FILE="$SAMPLES" OUTPUT_DIR="$WORK_DIR/out/server_acc" \
+    ACCURACY=true ./scripts/run_server.sh
+  echo '==> Stage 5: Server performance'
+  QUANT="$QUANT_OUT" SAMPLE_FILE="$SAMPLES" OUTPUT_DIR="$WORK_DIR/out/server_perf" \
+    ./scripts/run_server.sh
+  echo "==> Done.  Results under $WORK_DIR/out/"
+fi

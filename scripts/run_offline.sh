@@ -12,9 +12,14 @@ BATCH_SIZE=${BATCH_SIZE:-256}
 SPLIT_LEN=${SPLIT_LEN:--1}
 ACCURACY=${ACCURACY:-false}
 OUTPUT_DIR=${OUTPUT_DIR:-output/offline}
+NATIVE=${NATIVE:-false}          # route timing through the native issuer
 
 ARGS=(--scenario Offline --benchmark --batch_size "$BATCH_SIZE" \
       --split_len "$SPLIT_LEN" --output_dir "$OUTPUT_DIR")
+[ "$NATIVE" = "true" ] && ARGS+=(--native_loadgen)
+[ -n "$MLPERF_CONF" ] && ARGS+=(--mlperf_conf "$MLPERF_CONF")
+[ -n "$USER_CONF" ] && ARGS+=(--user_conf "$USER_CONF")
+[ -n "$PLATFORM" ] && ARGS+=(--platform "$PLATFORM")
 [ -n "$MODEL" ] && ARGS+=(--model "$MODEL")
 [ -n "$QUANT" ] && ARGS+=(--quant_in "$QUANT")
 if [ -n "$SAMPLE_FILE" ]; then ARGS+=(--sample_file "$SAMPLE_FILE"); else ARGS+=(--synthetic "$SYNTHETIC"); fi

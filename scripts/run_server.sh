@@ -11,12 +11,17 @@ SLOTS=${SLOTS:-128}
 SPLIT_LEN=${SPLIT_LEN:-24}
 RESPONSE_SIZE=${RESPONSE_SIZE:-9}
 OUTPUT_DIR=${OUTPUT_DIR:-output/server}
+ACCURACY=${ACCURACY:-false}
+MLPERF_CONF=${MLPERF_CONF:-configs/mlperf.conf}
+USER_CONF=${USER_CONF:-configs/user.conf}
 
 ARGS=(--scenario Server --benchmark --server_slots "$SLOTS" \
       --split_len "$SPLIT_LEN" --response_size "$RESPONSE_SIZE" --output_dir "$OUTPUT_DIR" \
-      --mlperf_conf configs/mlperf.conf --user_conf configs/user.conf)
+      --mlperf_conf "$MLPERF_CONF" --user_conf "$USER_CONF")
+[ -n "$PLATFORM" ] && ARGS+=(--platform "$PLATFORM")
 [ -n "$MODEL" ] && ARGS+=(--model "$MODEL")
 [ -n "$QUANT" ] && ARGS+=(--quant_in "$QUANT")
+[ "$ACCURACY" = "true" ] && ARGS+=(--accuracy)
 if [ -n "$SAMPLE_FILE" ]; then ARGS+=(--sample_file "$SAMPLE_FILE"); else ARGS+=(--synthetic "$SYNTHETIC"); fi
 
 # DEBUG=pdb|faulthandler|gdb — see run_offline.sh / reference launch_sut.sh:69-72

@@ -166,3 +166,20 @@ def test_offline_runner_dp_device_resident():
             runner=runner, device_resident=True,
         )
     assert rep.hypotheses == ref.hypotheses
+
+
+def test_multihost_probe_artifact():
+    """scripts/multihost_probe.py end-to-end: a 2-process cluster serving a
+    sharded Offline workload and reporting weak-scaling balance."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "multihost_probe", os.path.join(REPO, "scripts", "multihost_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.run_cluster(nproc=2, n_samples=12, batch=4, hidden=64)
+    assert report["hosts"] == 2
+    assert report["samples"] >= 12  # reps can serve the shard multiple times
+    assert 0.0 < report["load_balance_efficiency"] <= 1.0
+    assert len(report["per_host_wall_seconds"]) == 2
