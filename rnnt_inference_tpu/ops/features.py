@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 from typing import Tuple
 
 import jax
@@ -32,6 +33,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from rnnt_inference_tpu.config import FeaturizerConfig
+
+
+def matmul_dtype() -> jnp.dtype:
+    """Trace-time dtype for the DFT/mel matmul OPERANDS (accumulation stays
+    f32 either way).  RNNT_FEATURE_DTYPE=bf16 halves the dominant frontend
+    MXU/HBM cost; the relative feature error (~2^-9 from bf16 operands) is
+    far inside the int8 quantization step of the encoder input, but token
+    equality must be re-gated per model (tests pin f32<->bf16 feature drift;
+    keep f32 if tokens shift)."""
+    return (
+        jnp.bfloat16
+        if _os.environ.get("RNNT_FEATURE_DTYPE", "f32") == "bf16"
+        else jnp.float32
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -244,9 +259,12 @@ def frame_signal(
 
 def power_spectrum(frames: jax.Array, cos_m: jax.Array, sin_m: jax.Array) -> jax.Array:
     """|windowed DFT|^2 via two MXU matmuls (replaces torch.stft +
-    mlperf_plugins power_spectrum)."""
-    re = jnp.dot(frames, cos_m, preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_m, preferred_element_type=jnp.float32)
+    mlperf_plugins power_spectrum).  Operand dtype per matmul_dtype()
+    (f32 default; bf16 under RNNT_FEATURE_DTYPE=bf16), f32 accumulation."""
+    dt = matmul_dtype()
+    frames = frames.astype(dt)
+    re = jnp.dot(frames, cos_m.astype(dt), preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_m.astype(dt), preferred_element_type=jnp.float32)
     return re * re + im * im
 
 
@@ -311,7 +329,10 @@ def log_mel_features(
 
     if cfg.dither > 0:
         spec = spec + cfg.dither**2
-    mel = jnp.dot(spec, fb_t, preferred_element_type=jnp.float32) + 1e-20
+    dt = matmul_dtype()
+    mel = jnp.dot(
+        spec.astype(dt), fb_t.astype(dt), preferred_element_type=jnp.float32
+    ) + 1e-20
     if cfg.log:
         mel = jnp.log(mel)
 

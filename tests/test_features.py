@@ -163,3 +163,39 @@ def test_radix2_power_spectrum_matches_direct():
     )
     b = np.asarray(power_spectrum_radix2(frames, cfg))
     np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-3)
+
+
+def test_bf16_feature_matmuls(monkeypatch):
+    """RNNT_FEATURE_DTYPE=bf16 runs the DFT/mel matmuls with bf16 operands
+    (f32 accumulate) — kept experimental and OFF by default: the log stage
+    amplifies bf16 cancellation error in low-power DFT bins (destructive
+    interference leaves |X_k|^2 near the dither floor where relative error
+    explodes).  Measured drift on normalized features: p50 ~1e-3 (harmless)
+    but p99 ~0.1 and max ~1.0 — past the int8 quantization step, so the
+    fake-quant token-equality gate fails and f32 stays the default
+    (VERDICT r2 item 5: "keep f32 if tokens shift")."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnnt_inference_tpu.config import FeaturizerConfig
+    from rnnt_inference_tpu.ops import features as F
+
+    cfg = FeaturizerConfig()
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(3, 32000).astype(np.float32) * 0.1)
+    lens = jnp.asarray([32000, 17000, 9000], jnp.int32)
+
+    f32_out, l32 = jax.jit(lambda a, b: F.log_mel_features(a, b, cfg))(wav, lens)
+    monkeypatch.setenv("RNNT_FEATURE_DTYPE", "bf16")
+    # fresh trace: matmul_dtype() is read at trace time
+    bf_out, lbf = jax.jit(lambda a, b: F.log_mel_features(a, b, cfg))(wav, lens)
+    assert np.array_equal(np.asarray(l32), np.asarray(lbf))
+    d = np.abs(np.asarray(bf_out) - np.asarray(f32_out))
+    # bulk of the features are fine; the tail is what kills the token gate
+    assert np.percentile(d, 50) < 0.01
+    assert d.max() < 2.0  # sanity: same pipeline, not garbage
+    # document the failing gate: tail drift exceeds the ~0.05 int8 step
+    assert np.percentile(d, 99) > 0.02, (
+        "tail drift shrank below the int8 step — re-evaluate enabling bf16 "
+        "features by default (docs/PERFORMANCE.md bf16-featurizer entry)"
+    )
