@@ -234,6 +234,105 @@ def calibrate(
     return calib
 
 
+# ---------------------------------------------------------------------------
+# Quantized linear (reference: models/quant_linear.py iLinear)
+# ---------------------------------------------------------------------------
+#
+# The reference defines iLinear for the joint's first linear but ships it
+# DORMANT — the only call sites are commented out (modeling_rnnt.py:54-65),
+# so the production joint runs bf16.  We mirror that exactly: the component
+# exists with the reference's semantics (per-tensor int8 weight, calibrated
+# per-tensor input scale, bias folded into the int32 product domain,
+# o_scale dequant — quant_linear.py:46-65) and a joint wiring helper, but
+# nothing on the serving path uses it by default.
+
+
+@_pytree_dataclass
+class QuantLinearWeights:
+    """int8 linear: y = (q(x) @ w_i8 + b*in_scale*w_scale) / (in_scale*w_scale).
+
+    w_i8: int8 (IN, OUT) — x@W layout (the reference's F.linear weight is
+    (OUT, IN); transposition is a layout choice, the math is identical).
+    b: f32 (OUT,) kept in the FLOAT domain; the reference pre-scales bias
+    into the int32 domain and divides back out with o_scale
+    (quant_linear.py:58-61, 63-65) — algebraically the same.
+    """
+
+    w_i8: jax.Array
+    b: jax.Array
+    in_scale: jax.Array
+    w_scale: jax.Array
+
+    @property
+    def o_scale(self) -> jax.Array:
+        return 1.0 / (self.in_scale * self.w_scale)
+
+
+def quantize_linear(
+    w: jax.Array, b: jax.Array, act_amax: jax.Array
+) -> QuantLinearWeights:
+    """run_mode="quant" parameter build (quant_linear.py:52-61):
+    w_scale = 127/max|W| per tensor, in_scale = 127/act_amax from calib."""
+    w_scale = MAX_BOUND / jnp.max(jnp.abs(w))
+    return QuantLinearWeights(
+        w_i8=quantize(w, w_scale),
+        b=b.astype(jnp.float32),
+        in_scale=(MAX_BOUND / act_amax).astype(jnp.float32),
+        w_scale=w_scale.astype(jnp.float32),
+    )
+
+
+def quant_linear_apply(ql: QuantLinearWeights, x: jax.Array) -> jax.Array:
+    """iLinear.forward (quant_linear.py:63-65): quantize the activation with
+    the calibrated scale, int8xint8 GEMM accumulated in int32 (MXU-native),
+    dequantize with o_scale, add bias.  Returns f32."""
+    x_i8 = quantize(x, ql.in_scale)
+    acc = jax.lax.dot_general(
+        x_i8,
+        ql.w_i8,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * ql.o_scale + ql.b
+
+
+def fake_quant_linear_apply(
+    w: jax.Array, b: jax.Array, act_amax: jax.Array, x: jax.Array
+) -> jax.Array:
+    """QuantLinear fake_quant forward (quant_linear.py:37-44): weight and
+    activation quantize-dequantized in f32, then a plain f32 GEMM."""
+    w_scale = MAX_BOUND / jnp.max(jnp.abs(w))
+    in_scale = MAX_BOUND / act_amax
+    fq = lambda v, s: jnp.clip(jnp.round(v * s), MIN_BOUND, MAX_BOUND) / s
+    return jnp.dot(fq(x, in_scale), fq(w, w_scale)) + b
+
+
+def quantize_joint_fc1_trans(weights, act_amax: jax.Array) -> QuantLinearWeights:
+    """Build the reference's dormant joint.linear1_trans quantization
+    (modeling_rnnt.py:54-65, commented out there; available here the same
+    way).  act_amax calibrates over the encoder output f — the skip_quant_y
+    f32 stream the joint consumes."""
+    w = weights.joint
+    return quantize_linear(
+        w.w1_trans.astype(jnp.float32), jnp.zeros((w.w1_trans.shape[1],)), act_amax
+    )
+
+
+def joint_quant_fc1(weights, ql: QuantLinearWeights, f: jax.Array, g: jax.Array):
+    """Joint with the trans-side fc1 running int8 (dormant reference path).
+    The pred-side fc1, bias, relu and fc2 stay bf16/f32 as in `rnnt.joint`."""
+    w = weights.joint
+    y = (
+        quant_linear_apply(ql, f)
+        + jnp.dot(g.astype(w.w1_pred.dtype), w.w1_pred, preferred_element_type=jnp.float32)
+        + w.b1.astype(jnp.float32)
+    )
+    y = jnp.maximum(y, 0.0).astype(w.w2.dtype)
+    return (
+        jnp.dot(y, w.w2, preferred_element_type=jnp.float32) + w.b2.astype(jnp.float32)
+    )
+
+
 @_pytree_dataclass
 class FakeQuantRNNTWeights:
     """fake_quant run mode (reference: arguments.py run_mode "fake_quant").

@@ -258,3 +258,71 @@ def test_quant_encoder_stack_matches_oracle():
     )
     y_deq = _np(y).astype(np.float32) / float(qw.pre_rnn[1].out_scale)
     np.testing.assert_allclose(y_deq, y1, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# quant_linear (reference models/quant_linear.py iLinear — dormant there,
+# component-complete here)
+# ---------------------------------------------------------------------------
+
+
+def np_ilinear_oracle(w, b, act_amax, x):
+    """Reference iLinear math verbatim (quant_linear.py:52-65): int8 weight
+    per-tensor, int8 input with calibrated scale, int32 accumulate, bias
+    pre-scaled into the product domain, o_scale dequant."""
+    w_scale = 127.0 / np.max(np.abs(w))
+    in_scale = 127.0 / act_amax
+    w_i8 = np.clip(np.round(w * w_scale), -128, 127).astype(np.int8)
+    x_i8 = np.clip(np.round(x * in_scale), -128, 127).astype(np.int8)
+    b_scale = in_scale * w_scale
+    acc = x_i8.astype(np.int64) @ w_i8.astype(np.int64) + b * b_scale
+    return acc / b_scale
+
+
+def test_quant_linear_matches_ilinear_oracle():
+    from rnnt_inference_tpu.models.quant import quant_linear_apply, quantize_linear
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(24, 20).astype(np.float32)
+    b = rng.randn(20).astype(np.float32)
+    x = rng.randn(6, 24).astype(np.float32)
+    amax = np.float32(np.abs(x).max() * 1.1)
+
+    ql = quantize_linear(jnp.asarray(w), jnp.asarray(b), jnp.asarray(amax))
+    y = jax.jit(quant_linear_apply)(ql, jnp.asarray(x))
+    np.testing.assert_allclose(_np(y), np_ilinear_oracle(w, b, amax, x), rtol=1e-5, atol=1e-5)
+
+
+def test_fake_quant_linear_matches_oracle():
+    from rnnt_inference_tpu.models.quant import fake_quant_linear_apply
+
+    rng = np.random.RandomState(1)
+    w = rng.randn(16, 8).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    x = rng.randn(4, 16).astype(np.float32)
+    amax = np.float32(2.5)
+    y = jax.jit(fake_quant_linear_apply)(
+        jnp.asarray(w), jnp.asarray(b), jnp.asarray(amax), jnp.asarray(x)
+    )
+    w_scale = 127.0 / np.abs(w).max()
+    ref = np_fake_quant(x, 127.0 / amax) @ np_fake_quant(w, w_scale) + b
+    np.testing.assert_allclose(_np(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_joint_quant_fc1_tracks_bf16_joint():
+    """The dormant quantized-joint path must track the shipping bf16 joint
+    closely (it is a quantization of the same weights, not a different op)."""
+    from rnnt_inference_tpu.models.quant import joint_quant_fc1, quantize_joint_fc1_trans
+
+    params = SMALL
+    w = init_weights(jax.random.PRNGKey(3), params)
+    rng = np.random.RandomState(2)
+    f = jnp.asarray(rng.randn(4, params.trans_hidden_size).astype(np.float32))
+    g = jnp.asarray(rng.randn(4, params.pred_hidden_size).astype(np.float32))
+
+    ql = quantize_joint_fc1_trans(w, jnp.asarray(np.abs(_np(f)).max()))
+    y_q = jax.jit(joint_quant_fc1)(w, ql, f, g)
+    y_f = jax.jit(model.joint)(w, f, g)
+    assert y_q.shape == y_f.shape
+    err = np.abs(_np(y_q) - _np(y_f)).max()
+    assert err < 0.15, f"quant joint drifted {err} from f32 joint"
