@@ -62,6 +62,18 @@ class ServerMetrics:
             d["deferred_completed"] = len(vals)
             d["deferred_ms_mean"] = round(float(np.mean(vals)), 1)
             d["deferred_ms_max"] = round(float(np.max(vals)), 1)
+        # per-sample slow-query log (reference prints every sample whose
+        # latency exceeds 1 s, csrc/torch_sut.cpp:558-565 — sourced there by
+        # poking loadgen's private metadata; here from our own public stamps)
+        slow = sorted(
+            ((q, lat) for q, lat in self.latencies_ms.items() if lat > 1000.0),
+            key=lambda kv: -kv[1],
+        )
+        if slow:
+            d["slow_sample_count"] = len(slow)
+            d["slow_samples"] = [
+                {"query": int(q), "latency_ms": round(lat, 1)} for q, lat in slow[:16]
+            ]
         return d
 
 
