@@ -257,14 +257,35 @@ def frame_signal(
     return jnp.concatenate(cols, axis=2)  # (N, T, flen)
 
 
+def matmul_precision():
+    """MXU pass count for the f32 DFT/mel matmuls.  On TPU an f32 matmul is
+    emulated in bf16 passes: HIGHEST = 6 passes (full f32 effective
+    precision), "high" = 3 passes (~f32 with slightly larger tail error,
+    half the MXU time).  RNNT_FEATURE_PRECISION=high is the cheap middle
+    ground between the default and the (rejected — see PERFORMANCE.md)
+    1-pass bf16 operand cast; token equality must be re-gated per model
+    like any feature-precision change."""
+    return (
+        jax.lax.Precision.HIGH
+        if _os.environ.get("RNNT_FEATURE_PRECISION", "highest") == "high"
+        else jax.lax.Precision.HIGHEST
+    )
+
+
 def power_spectrum(frames: jax.Array, cos_m: jax.Array, sin_m: jax.Array) -> jax.Array:
     """|windowed DFT|^2 via two MXU matmuls (replaces torch.stft +
     mlperf_plugins power_spectrum).  Operand dtype per matmul_dtype()
-    (f32 default; bf16 under RNNT_FEATURE_DTYPE=bf16), f32 accumulation."""
+    (f32 default; bf16 under RNNT_FEATURE_DTYPE=bf16), f32 accumulation,
+    MXU pass count per matmul_precision()."""
     dt = matmul_dtype()
+    prec = matmul_precision()
     frames = frames.astype(dt)
-    re = jnp.dot(frames, cos_m.astype(dt), preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_m.astype(dt), preferred_element_type=jnp.float32)
+    re = jnp.dot(
+        frames, cos_m.astype(dt), preferred_element_type=jnp.float32, precision=prec
+    )
+    im = jnp.dot(
+        frames, sin_m.astype(dt), preferred_element_type=jnp.float32, precision=prec
+    )
     return re * re + im * im
 
 
