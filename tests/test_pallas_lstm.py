@@ -274,3 +274,47 @@ def test_quant_pallas_pipelined_matches_plain():
             np.testing.assert_array_equal(np.asarray(y_p), np.asarray(y_ref))
     finally:
         del os.environ["RNNT_INT8_PIPE_BN"]
+
+
+def test_quant_pallas_pipelined_dispatch_nb4():
+    """RNNT_INT8_PIPE=1 selects the pipelined kernel through
+    quant_lstm_layer_pallas, and the 4-tile pipeline (two full scratch
+    parity periods per timestep) stays bit-identical to the plain kernel."""
+    import os
+
+    import jax.numpy as jnp
+    from rnnt_inference_tpu.config import RNNTParams
+    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+    from rnnt_inference_tpu.models.weights import init_weights
+    from rnnt_inference_tpu.ops.lstm_int8 import quantize
+    from rnnt_inference_tpu.ops.lstm_pallas import quant_lstm_layer_pallas
+
+    params = RNNTParams(
+        trans_input_size=240,
+        trans_hidden_size=128,
+        pred_hidden_size=32,
+        joint_hidden_size=32,
+        max_res_len=64,
+    )
+    w = init_weights(jax.random.PRNGKey(0), params)
+    T, N = 7, 32  # nb = 4 tiles of 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, N, params.trans_input_size))
+    lens = jnp.full((N,), T, jnp.int32)
+    qw = quantize_weights(w, calibrate(w, [(x, lens)], params), params, compute_dtype=jnp.float32)
+
+    layer = qw.pre_rnn[0]
+    x_i8 = quantize(x, layer.in_scale)
+    h0 = jax.random.randint(jax.random.PRNGKey(2), (N, 128), -128, 128).astype(jnp.int8)
+    c0 = (jax.random.normal(jax.random.PRNGKey(3), (N, 128)) * 0.5).astype(jnp.float32)
+
+    y_ref, h_ref, c_ref = quant_lstm_layer_pallas(layer, x_i8, h0, c0, False, interpret=True)
+    os.environ["RNNT_INT8_PIPE"] = "1"
+    os.environ["RNNT_INT8_PIPE_BN"] = "8"
+    try:
+        y_p, h_p, c_p = quant_lstm_layer_pallas(layer, x_i8, h0, c0, False, interpret=True)
+    finally:
+        del os.environ["RNNT_INT8_PIPE"]
+        del os.environ["RNNT_INT8_PIPE_BN"]
+    np.testing.assert_array_equal(np.asarray(y_p), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_ref))
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_ref))
