@@ -60,11 +60,49 @@ def weight_shardings(mesh: Mesh, weights, tensor_parallel: bool = True):
         RNNTWeights,
     )
 
+    from rnnt_inference_tpu.models.quant import (
+        QuantLSTMLayerWeights,
+        QuantRNNTWeights,
+    )
+
+    if isinstance(weights, QuantRNNTWeights):
+        # int8 encoder TP (XLA path): gate dims (4H) column-parallel like
+        # the bf16 layers; per-tensor scales are scalars -> replicated.
+        # GSPMD inserts the per-step h all-gather.  The Pallas kernels are
+        # single-device programs — with tensor_parallel=False (or under
+        # shard_map per data shard) replication matches the reference's
+        # per-socket clones.
+        def qspec(layer: QuantLSTMLayerWeights) -> QuantLSTMLayerWeights:
+            gate = P(None, "model") if tensor_parallel else P()
+            vec = P("model") if tensor_parallel else P()
+            return QuantLSTMLayerWeights(
+                w_ih=NamedSharding(mesh, gate),
+                w_hh=NamedSharding(mesh, gate),
+                b=NamedSharding(mesh, vec),
+                in_scale=NamedSharding(mesh, P()),
+                w_scale=NamedSharding(mesh, P()),
+                out_scale=NamedSharding(mesh, P()),
+            )
+
+        rest = weight_shardings(
+            mesh,
+            RNNTWeights(
+                pre_rnn=[], post_rnn=[], embed=weights.embed,
+                pred_rnn=weights.pred_rnn, joint=weights.joint,
+            ),
+            tensor_parallel,
+        )
+        return QuantRNNTWeights(
+            pre_rnn=[qspec(l) for l in weights.pre_rnn],
+            post_rnn=[qspec(l) for l in weights.post_rnn],
+            embed=rest.embed,
+            pred_rnn=rest.pred_rnn,
+            joint=rest.joint,
+        )
+
     if not isinstance(weights, RNNTWeights):
-        # quantized / fake-quant weights: replicate every leaf (scales
-        # included).  TP of the int8 path would need shard_map around the
-        # Pallas kernels — replication is the supported layout there, like
-        # the reference's per-socket clones.
+        # fake-quant weights: replicate every leaf (scales included) —
+        # the triage mode has no production TP use.
         return jax.tree.map(lambda _: NamedSharding(mesh, P()), weights)
 
     def lstm_spec(layer: LSTMLayerWeights) -> LSTMLayerWeights:

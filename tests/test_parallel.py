@@ -118,3 +118,40 @@ def test_tp_decode_runs_and_is_close():
     # token streams should be identical or near-identical
     same = np.mean(np.asarray(res_tp) == np.asarray(res_ref))
     assert same > 0.9, f"tp decode diverged: {same:.2%} positions equal"
+
+
+@needs_8
+def test_tp_decode_quant_weights_runs_and_is_close():
+    """dp=4 x tp=2 with the int8 encoder: QuantRNNTWeights gate dims shard
+    column-parallel (scales replicated, GSPMD inserts the per-step h
+    all-gather).  int8 gate GEMM reductions are exact integers, so encoder
+    divergence can only enter through the bf16 pred/joint — same loose
+    token-agreement bound as the bf16 TP test."""
+    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+
+    w32 = init_weights(jax.random.PRNGKey(6), SMALL, dtype=jnp.float32)
+    T, N = 12, 8
+    x = jax.random.normal(
+        jax.random.PRNGKey(7), (T, N, SMALL.trans_input_size), jnp.float32
+    )
+    lens = jnp.full((N,), T, jnp.int32)
+    wq = quantize_weights(w32, calibrate(w32, [(x, lens)], SMALL), SMALL)
+
+    res_ref, lens_ref = greedy_decode(wq, x, lens, params=SMALL)
+
+    mesh = make_mesh(8, model_parallel=2)
+    w_sh = jax.device_put(wq, weight_shardings(mesh, wq, tensor_parallel=True))
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    l_sh = jax.device_put(lens, lens_sharding(mesh))
+    step = jax.jit(
+        lambda w, x, l: greedy_decode(w, x, l, params=SMALL),
+        out_shardings=(
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data")),
+        ),
+    )
+    with mesh:
+        res_tp, lens_tp = step(w_sh, x_sh, l_sh)
+    assert res_tp.shape == res_ref.shape
+    same = np.mean(np.asarray(res_tp) == np.asarray(res_ref))
+    assert same > 0.9, f"quant tp decode diverged: {same:.2%} positions equal"
