@@ -16,6 +16,9 @@ from rnnt_inference_tpu.runtime.config import TestSettings
 from rnnt_inference_tpu.runtime.harness import run_single_stream
 from rnnt_inference_tpu.utils.profiler import BatchTimeline
 
+import os
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 SMALL = RNNTParams(
     trans_input_size=240,
     trans_hidden_size=64,
@@ -75,3 +78,52 @@ def test_batch_timeline(tmp_path):
     data = json.loads(out.read_text())
     assert len(data["traceEvents"]) == 2
     assert data["traceEvents"][0]["name"] == "batch"
+
+
+def test_check_calib_cross_reference(tmp_path):
+    """scripts/check_calib.py parses the TRT cache format (name: big-endian
+    hex f32 scale) and passes a calibration whose shared cat(x,h) amaxes
+    match the reconstructed NV values."""
+    import struct
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    hx = lambda v: struct.pack(">f", v).hex()
+    # synthetic NV table: input amax 5.84 -> scale/127, hiddens ~1, outputs ~1
+    lines = ["TRT-8001-MinMaxCalibration"]
+    vals = {"input": 5.84}
+    for pre in range(2):
+        vals[f"encoder.pre_rnn.lstm{pre}_hidden"] = 0.95 + 0.01 * pre
+        vals[f"encoder.pre_rnn.lstm{pre}_output"] = 1.0 + 0.01 * pre
+    for post in range(3):
+        vals[f"encoder.post_rnn.lstm{post}_hidden"] = 0.9 + 0.01 * post
+        vals[f"encoder.post_rnn.lstm{post}_output"] = 1.02 + 0.01 * post
+    for k, v in vals.items():
+        lines.append(f"{k}: {hx(v / 127.0)}")
+    cache = tmp_path / "nv.cache"
+    cache.write_text("\n".join(lines))
+
+    pre_amax = [max(5.84, 0.95), max(1.0, 0.96)]
+    post_amax = [max(1.01, 0.9), max(1.02, 0.91), max(1.03, 0.92)]
+    calib = tmp_path / "calib.npz"
+    np.savez(calib, pre_amax=np.array(pre_amax), post_amax=np.array(post_amax))
+
+    r = subprocess.run(
+        [sys.executable, "scripts/check_calib.py", "--cache", str(cache),
+         "--calib", str(calib), "--rtol", "0.05"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout
+
+    # an out-of-range amax must fail the gate
+    np.savez(calib, pre_amax=np.array([50.0, pre_amax[1]]),
+             post_amax=np.array(post_amax))
+    r = subprocess.run(
+        [sys.executable, "scripts/check_calib.py", "--cache", str(cache),
+         "--calib", str(calib), "--rtol", "0.05"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 1
