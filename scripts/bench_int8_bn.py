@@ -40,6 +40,31 @@ def main():
     lens = jnp.full((N,), T, jnp.int32)
     state = init_encoder_state(N, params, jnp.int8)
 
+    if os.environ.get("RNNT_INT8_PIPE", "0") == "1":
+        # on-device equality gate: the pipelined kernel must match the plain
+        # kernel bit-for-bit on real hardware, not just in interpret mode
+        # (output-window rotation across non-contiguous revisits is the risk)
+        Tc, Nc = 16, 512
+        xc2 = x[:Tc, :Nc]
+        lc2 = jnp.full((Nc,), Tc, jnp.int32)
+        sc = init_encoder_state(Nc, params, jnp.int8)
+        y_pipe = jax.jit(
+            lambda x: model.transcription(wq, x, lc2, sc, params)[0]
+        )(xc2)
+        y_pipe = np.asarray(y_pipe)
+        os.environ["RNNT_INT8_PIPE"] = "0"
+        y_plain = jax.jit(
+            lambda x: model.transcription(wq, x, lc2, sc, params)[0]
+        )(xc2)
+        y_plain = np.asarray(y_plain)
+        os.environ["RNNT_INT8_PIPE"] = "1"
+        if np.array_equal(y_pipe, y_plain):
+            print("pipe-vs-plain on-device equality: OK")
+        else:
+            n_bad = int((y_pipe != y_plain).sum())
+            print(f"pipe-vs-plain on-device equality: FAIL ({n_bad} mismatches)")
+            return
+
     run = jax.jit(lambda x: model.transcription(wq, x, lens, state, params)[0])
     out = run(x)
     np.asarray(out[0, 0, 0])
