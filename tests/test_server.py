@@ -170,3 +170,33 @@ def test_qos_deferred_excluded_from_percentiles():
     assert summary["latency_ms_p99"] == round(
         float(_np.percentile(list(metrics.latencies_ms.values()), 99)), 1
     )
+
+
+def test_server_matches_offline_tokens_quant():
+    """The reference serves the QUANT model in Server; the int8 encoder must
+    hold the same streaming == non-streaming token equality as bf16 (slot
+    windows carry int8 h / f32 c across chunks)."""
+    import jax.numpy as jnp
+
+    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+
+    store = SampleStore.synthetic(
+        n=6, seed=8, min_seconds=0.3, max_seconds=1.2, mean_seconds=0.7
+    )
+    w32 = init_weights(jax.random.PRNGKey(5), SMALL, dtype=jnp.float32)
+    xc = jax.random.normal(jax.random.PRNGKey(6), (32, 4, SMALL.trans_input_size))
+    lc = jnp.full((4,), 32, jnp.int32)
+    wq = quantize_weights(w32, calibrate(w32, [(xc, lc)], SMALL), SMALL)
+
+    offline = run_offline(wq, store, SMALL, CFG, batch_size=4, warmup=False)
+
+    runner = ServerRunner(
+        wq, SMALL, CFG, slots=4, split_len=4, max_frames=64, insert_batch=2
+    )
+    metrics, results = run_server(
+        runner, store, target_qps=1000.0, realtime=False, max_wall_s=120.0
+    )
+    assert metrics.completed == len(store)
+    for i in range(len(store)):
+        hyp = seq_to_sen(results[i], len(results[i]))
+        assert hyp == offline.hypotheses[i], f"sample {i} mismatch"
