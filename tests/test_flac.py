@@ -291,3 +291,28 @@ def test_bitreader_unary_across_bytes():
     bw.align()
     br = _BitReader(bw.getvalue())
     assert [br.unary() for _ in range(4)] == [0, 13, 40, 7]
+
+
+def test_stream_info_probe(tmp_path):
+    """flac_stream_info reads (total_samples, sample_rate) from STREAMINFO
+    only — must agree with a full decode, and reject non-FLAC bytes."""
+    import numpy as np
+    import pytest
+
+    from rnnt_inference_tpu.data.flac import decode_flac, encode_flac, flac_stream_info
+
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(12345) * 3000).astype(np.int16)
+    path = str(tmp_path / "probe.flac")
+    with open(path, "wb") as f:
+        f.write(encode_flac(pcm, sample_rate=16000))
+    total, sr = flac_stream_info(path)
+    assert (total, sr) == (12345, 16000)
+    decoded, sr2, _ = decode_flac(open(path, "rb").read())
+    assert sr2 == sr and len(decoded) == total
+
+    bad = str(tmp_path / "bad.flac")
+    with open(bad, "wb") as f:
+        f.write(b"RIFFxxxx")
+    with pytest.raises(ValueError):
+        flac_stream_info(bad)
