@@ -113,3 +113,22 @@ def test_full_dims_smoke():
     assert res.shape == (N, params.max_res_len)
     assert res_lens.shape == (N,)
     assert np.all(np.asarray(res_lens) >= 0)
+
+
+@pytest.mark.parametrize("cap", [1, 2, 30])
+def test_symbol_cap_matches_reference(cap):
+    """max_symbols_per_step algebra: the per-frame burst cap must clamp the
+    jitted decode exactly like the eager oracle (reference decoder.py caps
+    symbols emitted without advancing time)."""
+    import dataclasses
+
+    params = dataclasses.replace(SMALL, max_symbols_per_step=cap)
+    T, N = 12, 4
+    w = init_weights(jax.random.PRNGKey(42), params)
+    x, x_lens = _make_inputs(T, N, params, seed=7)
+
+    res, res_lens = greedy_decode(w, x, x_lens, params=params)
+    ref = RefRNNT(w, params)
+    res_ref, res_lens_ref = ref_greedy_decode(ref, np.asarray(x), np.asarray(x_lens))
+    np.testing.assert_array_equal(np.asarray(res_lens), res_lens_ref)
+    np.testing.assert_array_equal(np.asarray(res), res_ref)
