@@ -55,6 +55,14 @@ def main():
     params = RNNTParams(max_res_len=512)
     cfg = FeaturizerConfig()
     weights = init_weights(jax.random.PRNGKey(0), params, dtype=dtype)
+    if os.environ.get("PROBE_DTYPE") == "quant":
+        # the reference serves the QUANT model in Server; measure that path
+        from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+
+        w32 = init_weights(jax.random.PRNGKey(0), params, dtype=jnp.float32)
+        xc = jax.random.normal(jax.random.PRNGKey(1), (64, 8, params.trans_input_size))
+        lc = jnp.full((8,), 64, jnp.int32)
+        weights = quantize_weights(w32, calibrate(w32, [(xc, lc)], params), params)
     store = SampleStore.synthetic(n=n, seed=0)
     runner = ServerRunner(weights, params, cfg, slots=slots, split_len=split)
 
