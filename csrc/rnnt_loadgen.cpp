@@ -305,12 +305,14 @@ void lg_report(void* h, double* out) {
     for (int64_t q = 0; q < t->max_queries; ++q) {
       if (t->complete_time[q] >= 0 && t->sched_time[q] >= 0) {
         double ms = (t->complete_time[q] - t->sched_time[q]) * 1e3;
-        t_last = std::max(t_last, t->complete_time[q]);
         if (t->deferred[q]) {
+          // deferred drains land after the measured window: keep them out of
+          // wall_seconds/qps as well as the percentile pool
           ++n_def;
           def_sum += ms;
           def_max = std::max(def_max, ms);
         } else {
+          t_last = std::max(t_last, t->complete_time[q]);
           lat.push_back(ms);
         }
       }
@@ -335,7 +337,7 @@ void lg_report(void* h, double* out) {
   out[4] = pct(99);
   out[5] = lat.empty() ? 0.0 : lat.back();
   out[6] = t_last;
-  out[7] = t_last > 0 ? (lat.size() + n_def) / t_last : 0.0;
+  out[7] = t_last > 0 ? lat.size() / t_last : 0.0;
   out[8] = static_cast<double>(t->issued.load());
   out[9] = static_cast<double>(n_def);
   out[10] = n_def ? def_sum / n_def : 0.0;

@@ -423,6 +423,11 @@ def flac_stream_info(path: str) -> Tuple[int, int]:
     stays in the conversion stage where it is parallelized."""
     with open(path, "rb") as f:
         data = f.read(4 + 4 + 34)  # marker + block header + STREAMINFO
+    if len(data) < 4 + 4 + 34:
+        raise ValueError(
+            f"truncated FLAC header in {path}: got {len(data)} bytes, "
+            "need 42 (marker + block header + STREAMINFO)"
+        )
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream (missing fLaC marker)")
     if data[4] & 0x7F != 0:

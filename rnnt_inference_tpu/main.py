@@ -206,8 +206,14 @@ def _run_scenario(args, weights, store, params, cfg):
     # performance runs load exactly performance_sample_count samples into
     # the QSL and cycle queries over them (reference configs/mlperf.conf
     # rnnt override = 2513, csrc/rnnt_qsl.hpp:42-46); accuracy runs cover
-    # the full set
-    if not args.accuracy and len(store) > settings.performance_sample_count:
+    # the full set.  The trim is an MLPerf conf rule — apply it only when a
+    # conf file was actually given, so bare benchmark runs serve the whole
+    # store the user pointed at.
+    if (
+        not args.accuracy
+        and (args.mlperf_conf or args.user_conf)
+        and len(store) > settings.performance_sample_count
+    ):
         store = store.select(np.arange(settings.performance_sample_count))
 
     if args.scenario == "Offline":
@@ -224,7 +230,13 @@ def _run_scenario(args, weights, store, params, cfg):
                 min_query_count=settings.min_query_count,
                 min_duration_s=settings.min_duration_ms / 1e3,
                 samples_per_query=settings.samples_per_query,
-                performance_sample_count=settings.performance_sample_count,
+                # 0 = full store when no MLPerf conf was given (same rule as
+                # the store trim above)
+                performance_sample_count=(
+                    settings.performance_sample_count
+                    if (args.mlperf_conf or args.user_conf)
+                    else 0
+                ),
             )
             _write_summary(args, validate_report(settings, report.summary()))
             return

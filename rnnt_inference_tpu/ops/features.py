@@ -352,7 +352,10 @@ def log_mel_features(
         spec = spec + cfg.dither**2
     dt = matmul_dtype()
     mel = jnp.dot(
-        spec.astype(dt), fb_t.astype(dt), preferred_element_type=jnp.float32
+        spec.astype(dt),
+        fb_t.astype(dt),
+        precision=matmul_precision(),
+        preferred_element_type=jnp.float32,
     ) + 1e-20
     if cfg.log:
         mel = jnp.log(mel)

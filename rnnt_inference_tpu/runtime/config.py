@@ -112,10 +112,14 @@ def validate_report(settings: TestSettings, report: dict) -> dict:
             f"min_duration not met: {wall*1e3:.0f} ms < {settings.min_duration_ms:.0f} ms"
         )
     if settings.scenario in ("Server", "SingleStream"):
+        if report.get("completed_live", completed) == 0:
+            reasons.append(
+                "no live (non-deferred) completions in the measured window"
+            )
         pct = settings.target_latency_percentile
         key = f"latency_ms_p{int(pct)}"
         lat = report.get(key)
-        if lat is None:
+        if lat is None or lat != lat:  # missing or NaN
             reasons.append(f"missing {key} in report")
         elif settings.scenario == "Server" and lat > settings.target_latency_ms:
             reasons.append(

@@ -48,14 +48,19 @@ class ServerMetrics:
         return float(np.percentile(list(self.latencies_ms.values()), p))
 
     def summary(self) -> dict:
+        # None (not NaN) when every completion was QoS-deferred: NaN is not
+        # valid JSON and float('nan') > gate comparisons are silently False —
+        # validate_report treats a missing/None percentile as INVALID
+        have_live = bool(self.latencies_ms)
         d = dict(
             scenario="Server",
             completed=self.completed,
+            completed_live=len(self.latencies_ms),
             wall_seconds=round(self.wall_seconds, 3),
             qps=round(self.completed / self.wall_seconds, 2) if self.wall_seconds else 0,
-            latency_ms_p50=round(self.percentile(50), 1),
-            latency_ms_p90=round(self.percentile(90), 1),
-            latency_ms_p99=round(self.percentile(99), 1),
+            latency_ms_p50=round(self.percentile(50), 1) if have_live else None,
+            latency_ms_p90=round(self.percentile(90), 1) if have_live else None,
+            latency_ms_p99=round(self.percentile(99), 1) if have_live else None,
         )
         if self.deferred_latencies_ms:
             vals = list(self.deferred_latencies_ms.values())

@@ -52,7 +52,7 @@ CONF
   export SYNTHETIC=${SYNTHETIC:-64}
 fi
 
-have_corpus() { [ -d "$DATA_DIR/dev-clean" ]; }
+have_corpus() { [ -d "$DATA_DIR/LibriSpeech/dev-clean" ]; }
 have_net() { [ "${SYNTHETIC_ONLY}" != "true" ]; }
 
 if [ "$STAGE" -le -1 ]; then

@@ -316,3 +316,11 @@ def test_stream_info_probe(tmp_path):
         f.write(b"RIFFxxxx")
     with pytest.raises(ValueError):
         flac_stream_info(bad)
+
+    # truncated mid-STREAMINFO (e.g. a partial download): loud error, not
+    # silently mis-aligned sr/total bitfields
+    trunc = str(tmp_path / "trunc.flac")
+    with open(trunc, "wb") as f:
+        f.write(open(path, "rb").read()[:30])
+    with pytest.raises(ValueError, match="truncated"):
+        flac_stream_info(trunc)

@@ -249,6 +249,9 @@ def test_report_deferred_excluded_from_percentiles():
     # the >=500 ms deferred latency must not show up in the live pool
     assert rep["latency_ms_max"] < 500.0
     assert rep["latency_ms_p99"] < 500.0
+    # nor in the measured wall: the deferred drain landed at t>=0.5 s but
+    # every live completion finished well before that
+    assert rep["wall_seconds"] < 0.5
     lg.close()
 
 

@@ -172,6 +172,32 @@ def test_qos_deferred_excluded_from_percentiles():
     )
 
 
+def test_all_deferred_summary_is_json_safe_and_invalid():
+    """Degenerate qos_len (every sample deferred): summary must emit None —
+    not NaN, which json.dump writes as a non-standard token and which makes
+    `nan > gate` silently False — and validate_report must call the run
+    INVALID (no live traffic was measured)."""
+    import json
+
+    from rnnt_inference_tpu.runtime.config import TestSettings, validate_report
+    from rnnt_inference_tpu.runtime.scheduler import ServerMetrics
+
+    m = ServerMetrics()
+    m.deferred_latencies_ms = {0: 1500.0, 1: 2500.0}
+    m.completed = 2
+    m.wall_seconds = 3.0
+    s = m.summary()
+    assert s["completed_live"] == 0
+    assert s["latency_ms_p99"] is None
+    json.dumps(s, allow_nan=False)  # strict JSON (raises on bare NaN)
+    st = TestSettings(
+        scenario="Server", min_query_count=1, min_duration_ms=0.0
+    )
+    out = validate_report(st, s)
+    assert out["result_validity"] == "INVALID"
+    assert any("no live" in r for r in out["invalid_reasons"])
+
+
 def test_server_matches_offline_tokens_quant():
     """The reference serves the QUANT model in Server; the int8 encoder must
     hold the same streaming == non-streaming token equality as bf16 (slot
