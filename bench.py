@@ -196,7 +196,45 @@ def main():
 
     set_decode_impl(os.environ.get("RNNT_DECODE_IMPL", "pallas"))
 
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    # Backend deadline: the relayed TPU has multi-hour outages during which
+    # jax.devices() blocks FOREVER (no error).  A bench that can never finish
+    # must fail loudly with its one JSON line instead of hanging the caller.
+    import threading
+
+    probe_done = threading.Event()
+    probe_out = {}
+
+    def _probe():
+        try:
+            probe_out["devices"] = jax.devices()
+        except Exception as e:  # backend init error: also report, not raise
+            probe_out["error"] = repr(e)
+        probe_done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    deadline_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "900"))
+    if not probe_done.wait(deadline_s) or "error" in probe_out:
+        why = probe_out.get(
+            "error", f"jax.devices() still blocked after {deadline_s:.0f}s"
+        )
+        log(f"backend unavailable: {why}")
+        print(
+            json.dumps(
+                dict(
+                    metric="offline_audio_seconds_per_second",
+                    value=0,
+                    unit="audio-s/s",
+                    vs_baseline=0,
+                    error=f"TPU backend unavailable: {why}",
+                )
+            ),
+            flush=True,
+        )
+        # the blocked probe thread is daemonic; _exit skips any atexit hooks
+        # that might touch the wedged backend
+        os._exit(1)
+
+    log(f"backend={jax.default_backend()} devices={probe_out['devices']}")
     import dataclasses as _dc
 
     # 512 tokens comfortably covers <=15 s transcripts (~450 chars max);
