@@ -123,13 +123,15 @@ if [ "$STAGE" -le 5 ]; then
   QUANT="$QUANT_OUT" SAMPLE_FILE="$SAMPLES" OUTPUT_DIR="$WORK_DIR/out/offline_acc" \
     ACCURACY=true ./scripts/run_offline.sh
   echo '==> Stage 5: Offline performance'
+  # performance runs route timing through the native issuer (reference:
+  # loadgen owns all timing for every scenario, csrc/main.cpp:108-147)
   QUANT="$QUANT_OUT" SAMPLE_FILE="$SAMPLES" OUTPUT_DIR="$WORK_DIR/out/offline_perf" \
-    ./scripts/run_offline.sh
+    NATIVE="${NATIVE:-true}" ./scripts/run_offline.sh
   echo '==> Stage 5: Server accuracy'
   QUANT="$QUANT_OUT" SAMPLE_FILE="$SAMPLES" OUTPUT_DIR="$WORK_DIR/out/server_acc" \
     ACCURACY=true ./scripts/run_server.sh
   echo '==> Stage 5: Server performance'
   QUANT="$QUANT_OUT" SAMPLE_FILE="$SAMPLES" OUTPUT_DIR="$WORK_DIR/out/server_perf" \
-    ./scripts/run_server.sh
+    NATIVE="${NATIVE:-true}" ./scripts/run_server.sh
   echo "==> Done.  Results under $WORK_DIR/out/"
 fi

@@ -14,10 +14,12 @@ OUTPUT_DIR=${OUTPUT_DIR:-output/server}
 ACCURACY=${ACCURACY:-false}
 MLPERF_CONF=${MLPERF_CONF:-configs/mlperf.conf}
 USER_CONF=${USER_CONF:-configs/user.conf}
+NATIVE=${NATIVE:-false}          # route timing through the native issuer
 
 ARGS=(--scenario Server --benchmark --server_slots "$SLOTS" \
       --split_len "$SPLIT_LEN" --response_size "$RESPONSE_SIZE" --output_dir "$OUTPUT_DIR" \
       --mlperf_conf "$MLPERF_CONF" --user_conf "$USER_CONF")
+[ "$NATIVE" = "true" ] && ARGS+=(--native_loadgen)
 [ -n "$PLATFORM" ] && ARGS+=(--platform "$PLATFORM")
 [ -n "$MODEL" ] && ARGS+=(--model "$MODEL")
 [ -n "$QUANT" ] && ARGS+=(--quant_in "$QUANT")
