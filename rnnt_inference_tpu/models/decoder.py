@@ -76,7 +76,7 @@ _DECODE_IMPL = _os.environ.get("RNNT_DECODE_IMPL", "xla")
 
 def set_decode_impl(impl: str) -> None:
     global _DECODE_IMPL
-    assert impl in ("xla", "pallas")
+    assert impl in ("xla", "pallas", "labelloop")
     _DECODE_IMPL = impl
 
 
@@ -157,6 +157,149 @@ def _greedy_decode_chunk_pallas(
     )
 
 
+def _greedy_decode_chunk_labelloop(
+    weights: RNNTWeights,
+    state: DecodeState,
+    f: jax.Array,
+    f_lens: jax.Array,
+    params: RNNTParams,
+) -> DecodeState:
+    """Label-looping schedule of the SAME greedy semantics (token-identical
+    to the XLA body, bit-for-bit).
+
+    The standard loop recomputes the prediction LSTM every iteration even
+    though its inputs (pre_g, hg, cg) only change on an EMISSION — between
+    emissions the prediction output is a constant, and the per-iteration
+    cost is ~90% prediction matmuls (2 LSTM layers on cat(320,320) vs a
+    512->29 joint tail).  Label-looping (NeMo-style, arXiv:2406.06220;
+    NVIDIA "speed-of-light" greedy, arXiv:2406.03791) swaps the loops:
+
+      outer round: ONE batched prediction step refreshes a cached
+          prediction projection (gproj = g @ W1_pred) for all lanes;
+      inner scan:  joint-from-cache only — lanes advance through blank
+          frames; a lane that would emit HOLDS at its frame until every
+          active lane is holding (or finished);
+      then all pending lanes emit together and the caches refresh.
+
+    Per-lane decision sequences are unchanged — each lane sees the same
+    (frame, prediction-state) pairs in the same order as the standard
+    schedule, and the joint math below matches the XLA body's operation
+    order exactly (fi_proj + gproj + b1), so tokens are bit-identical.
+    Prediction evaluations drop from (frames + symbols) to (symbols + 1)
+    per lane-max.  The reference cannot reorder this way: its fused AMX
+    joint recomputes both projections every iteration
+    (modeling_rnnt.py:268-283, decoder.py:125-168).
+    """
+    T2, N, _ = f.shape
+    eos_idx = jnp.maximum(f_lens - 1, 0)
+    finish0 = f_lens == 0
+    batch_arange = jnp.arange(N, dtype=jnp.int32)
+    # safety bounds only — unreachable by the mask algebra (per lane the
+    # standard loop runs at most frames + cap*frames iterations)
+    max_outer = T2 * params.max_symbols_per_step + 2
+    max_inner = T2 + 2
+
+    jw = weights.joint
+    fproj = jnp.dot(
+        f.astype(jw.w1_trans.dtype), jw.w1_trans, preferred_element_type=jnp.float32
+    )  # (T2, N, J) f32
+
+    def pred_caches(pre_g, hg, cg):
+        g, hg_new, cg_new = model.prediction_step(weights, pre_g, hg, cg, params)
+        gproj = jnp.dot(
+            g.astype(jw.w1_pred.dtype), jw.w1_pred,
+            preferred_element_type=jnp.float32,
+        )
+        return gproj, hg_new, cg_new
+
+    def eval_joint(gproj, time_idx):
+        fi_proj = jnp.take_along_axis(fproj, time_idx[None, :, None], axis=0)[0]
+        # operation order matches the XLA body exactly: (fi_proj + gproj) + b1
+        y = fi_proj + gproj + jw.b1.astype(jnp.float32)
+        y = jnp.maximum(y, 0.0).astype(jw.w2.dtype)
+        y = (
+            jnp.dot(y, jw.w2, preferred_element_type=jnp.float32)
+            + jw.b2.astype(jnp.float32)
+        )
+        return jnp.argmax(y, axis=-1).astype(jnp.int32)
+
+    def emit_mask(sym, symbols_added, finish):
+        return (
+            (sym != params.BLANK)
+            & (symbols_added != params.max_symbols_per_step)
+            & ~finish
+        )
+
+    def inner_cond(carry):
+        (time_idx, symbols_added, finish, sym, emit, it) = carry
+        return jnp.logical_and(~jnp.all(emit | finish), it < max_inner)
+
+    def outer_cond(carry):
+        (_, _, _, _, _, _, _, _, _, _, finish, it) = carry
+        return jnp.logical_and(~jnp.all(finish), it < max_outer)
+
+    def outer_body(carry):
+        (res, res_idx, pre_g, hg, cg, gproj, hgc, cgc,
+         time_idx, symbols_added, finish, it) = carry
+
+        def inner_body(icarry):
+            (time_idx, symbols_added, finish, sym, emit, iit) = icarry
+            # advance every active lane that is not holding at an emission
+            # (standard 5.1-5.4: time+1, finish check, eos clamp, reset cap)
+            adv = ~emit & ~finish
+            time_idx = time_idx + adv.astype(jnp.int32)
+            finish = finish | (time_idx >= f_lens)
+            time_idx = jnp.minimum(time_idx, eos_idx)
+            symbols_added = jnp.where(adv, 0, symbols_added)
+            sym = eval_joint(gproj, time_idx)
+            emit = emit_mask(sym, symbols_added, finish)
+            return (time_idx, symbols_added, finish, sym, emit, iit + 1)
+
+        sym = eval_joint(gproj, time_idx)
+        emit = emit_mask(sym, symbols_added, finish)
+        (time_idx, symbols_added, finish, sym, emit, _) = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (time_idx, symbols_added, finish, sym, emit, jnp.int32(0)),
+        )
+
+        # phase B — standard 4.1-4.3 for every holding lane at once
+        res_idx = res_idx + emit.astype(jnp.int32)
+        write_idx = jnp.where(emit, res_idx, params.max_res_len)  # OOB -> drop
+        res = res.at[batch_arange, write_idx].set(sym.astype(res.dtype), mode="drop")
+        symbols_added = symbols_added + emit.astype(jnp.int32)
+        pre_g = jnp.where(emit, sym, pre_g)
+        sel = emit[None, :, None]
+        hg = jnp.where(sel, hgc, hg)
+        cg = jnp.where(sel, cgc, cg)
+        # refresh caches from the committed state (unchanged lanes recompute
+        # identical values — deterministic, so their caches stay consistent)
+        gproj, hgc, cgc = pred_caches(pre_g, hg, cg)
+        return (res, res_idx, pre_g, hg, cg, gproj, hgc, cgc,
+                time_idx, symbols_added, finish, it + 1)
+
+    gproj0, hgc0, cgc0 = pred_caches(state.pre_g, state.hg, state.cg)
+    carry0 = (
+        state.res,
+        state.res_idx,
+        state.pre_g,
+        state.hg,
+        state.cg,
+        gproj0,
+        hgc0,
+        cgc0,
+        jnp.zeros((N,), jnp.int32),
+        jnp.zeros((N,), jnp.int32),
+        finish0,
+        jnp.int32(0),
+    )
+    res, res_idx, pre_g, hg, cg, *_ = jax.lax.while_loop(
+        outer_cond, outer_body, carry0
+    )
+    return DecodeState(
+        enc=state.enc, res=res, res_idx=res_idx, pre_g=pre_g, hg=hg, cg=cg
+    )
+
+
 def greedy_decode_chunk(
     weights: RNNTWeights,
     state: DecodeState,
@@ -168,6 +311,8 @@ def greedy_decode_chunk(
 
     f: {T2, N, 1024} encoder output, f_lens: {N} valid POST-stack frames.
     """
+    if _DECODE_IMPL == "labelloop":
+        return _greedy_decode_chunk_labelloop(weights, state, f, f_lens, params)
     if _pallas_decode_eligible(weights, f.shape[1]):
         return _greedy_decode_chunk_pallas(weights, state, f, f_lens, params)
     T2, N, _ = f.shape
