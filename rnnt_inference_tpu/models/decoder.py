@@ -80,6 +80,21 @@ def set_decode_impl(impl: str) -> None:
     _DECODE_IMPL = impl
 
 
+# Label-looping advance-scan lookahead (frames evaluated per inner
+# iteration).  K=1 scans frame-by-frame; the inner loop then runs
+# max-lane-gap iterations per emission round (the max over N lanes of a
+# ~geometric gap is 3-4x its mean at N=1024), so K>1 amortizes the scan:
+# one window usually covers the whole round.  The joint tail evaluated K
+# times is ~7% of the prediction step's FLOPs at K=4.
+_LABELLOOP_K = int(_os.environ.get("RNNT_LABELLOOP_K", "4"))
+
+
+def set_labelloop_k(k: int) -> None:
+    global _LABELLOOP_K
+    assert k >= 1
+    _LABELLOOP_K = k
+
+
 def _pallas_decode_eligible(weights, N: int) -> bool:
     return (
         _DECODE_IMPL == "pallas"
@@ -191,13 +206,14 @@ def _greedy_decode_chunk_labelloop(
     (modeling_rnnt.py:268-283, decoder.py:125-168).
     """
     T2, N, _ = f.shape
+    K = min(_LABELLOOP_K, T2)
     eos_idx = jnp.maximum(f_lens - 1, 0)
     finish0 = f_lens == 0
     batch_arange = jnp.arange(N, dtype=jnp.int32)
     # safety bounds only — unreachable by the mask algebra (per lane the
     # standard loop runs at most frames + cap*frames iterations)
     max_outer = T2 * params.max_symbols_per_step + 2
-    max_inner = T2 + 2
+    max_inner = -(-T2 // K) + 2
 
     jw = weights.joint
     fproj = jnp.dot(
@@ -212,23 +228,53 @@ def _greedy_decode_chunk_labelloop(
         )
         return gproj, hg_new, cg_new
 
-    def eval_joint(gproj, time_idx):
-        fi_proj = jnp.take_along_axis(fproj, time_idx[None, :, None], axis=0)[0]
-        # operation order matches the XLA body exactly: (fi_proj + gproj) + b1
-        y = fi_proj + gproj + jw.b1.astype(jnp.float32)
+    offs = jnp.arange(K, dtype=jnp.int32)
+
+    def window_scan(gproj, time_idx, symbols_added, finish):
+        """Evaluate the joint-from-cache at frames time_idx + [0..K) and move
+        each active lane to its first emitting frame in the window (hold),
+        past the window (continue), or to finish.  Frame-by-frame decisions
+        are EXACTLY the standard algebra: frame j=0 checks the carried
+        symbols_added cap, frames j>=1 see symbols_added=0 (an advance always
+        resets it), advancing past f_lens finishes the lane (time clamped to
+        eos).  Lanes already holding re-evaluate idempotently at j=0."""
+        tj = time_idx[None, :] + offs[:, None]  # (K, N)
+        tj_c = jnp.minimum(tj, eos_idx[None, :])  # gather-safe
+        fi = jnp.take_along_axis(fproj, tj_c[:, :, None], axis=0)  # (K, N, J)
+        # operation order matches the XLA body exactly: (fi + gproj) + b1
+        y = fi + gproj[None] + jw.b1.astype(jnp.float32)
         y = jnp.maximum(y, 0.0).astype(jw.w2.dtype)
         y = (
             jnp.dot(y, jw.w2, preferred_element_type=jnp.float32)
             + jw.b2.astype(jnp.float32)
         )
-        return jnp.argmax(y, axis=-1).astype(jnp.int32)
+        syms_k = jnp.argmax(y, axis=-1).astype(jnp.int32)  # (K, N)
 
-    def emit_mask(sym, symbols_added, finish):
-        return (
-            (sym != params.BLANK)
-            & (symbols_added != params.max_symbols_per_step)
-            & ~finish
-        )
+        valid = tj < f_lens[None, :]
+        nonblank = syms_k != params.BLANK
+        emit_j = nonblank & valid
+        if K > 1:
+            # frame 0 evaluates under the carried per-frame symbol count
+            emit0 = emit_j[0] & (symbols_added != params.max_symbols_per_step)
+            emit_j = jnp.concatenate([emit0[None], emit_j[1:]], axis=0)
+        else:
+            emit_j = emit_j & (symbols_added != params.max_symbols_per_step)[None]
+        first = jnp.min(jnp.where(emit_j, offs[:, None], K), axis=0)  # (N,)
+
+        remaining = f_lens - time_idx  # valid frames left from time_idx
+        pend = (first < K) & ~finish  # emits inside the window
+        done = (first >= K) & (remaining <= K) & ~finish  # scanned out
+        cont = (first >= K) & (remaining > K) & ~finish
+
+        new_time = jnp.where(pend, time_idx + first, time_idx)
+        new_time = jnp.where(cont, time_idx + K, new_time)
+        new_time = jnp.where(done, eos_idx, new_time)
+        advanced = (pend & (first > 0)) | done | cont
+        new_symadd = jnp.where(advanced, 0, symbols_added)
+        sym = jnp.take_along_axis(
+            syms_k, jnp.minimum(first, K - 1)[None, :], axis=0
+        )[0]
+        return new_time, new_symadd, finish | done, sym, pend
 
     def inner_cond(carry):
         (time_idx, symbols_added, finish, sym, emit, it) = carry
@@ -244,22 +290,15 @@ def _greedy_decode_chunk_labelloop(
 
         def inner_body(icarry):
             (time_idx, symbols_added, finish, sym, emit, iit) = icarry
-            # advance every active lane that is not holding at an emission
-            # (standard 5.1-5.4: time+1, finish check, eos clamp, reset cap)
-            adv = ~emit & ~finish
-            time_idx = time_idx + adv.astype(jnp.int32)
-            finish = finish | (time_idx >= f_lens)
-            time_idx = jnp.minimum(time_idx, eos_idx)
-            symbols_added = jnp.where(adv, 0, symbols_added)
-            sym = eval_joint(gproj, time_idx)
-            emit = emit_mask(sym, symbols_added, finish)
+            time_idx, symbols_added, finish, sym, emit = window_scan(
+                gproj, time_idx, symbols_added, finish
+            )
             return (time_idx, symbols_added, finish, sym, emit, iit + 1)
 
-        sym = eval_joint(gproj, time_idx)
-        emit = emit_mask(sym, symbols_added, finish)
         (time_idx, symbols_added, finish, sym, emit, _) = jax.lax.while_loop(
             inner_cond, inner_body,
-            (time_idx, symbols_added, finish, sym, emit, jnp.int32(0)),
+            (time_idx, symbols_added, finish,
+             jnp.zeros((N,), jnp.int32), jnp.zeros((N,), bool), jnp.int32(0)),
         )
 
         # phase B — standard 4.1-4.3 for every holding lane at once

@@ -134,15 +134,16 @@ def test_symbol_cap_matches_reference(cap):
     np.testing.assert_array_equal(np.asarray(res), res_ref)
 
 
-@pytest.mark.parametrize("cap", [1, 2, 30])
-def test_labelloop_matches_xla_and_reference(cap):
+@pytest.mark.parametrize("cap,k", [(1, 1), (1, 3), (2, 4), (30, 1), (30, 5)])
+def test_labelloop_matches_xla_and_reference(cap, k):
     """Label-looping decode (RNNT_DECODE_IMPL=labelloop) reorders the
     schedule — prediction steps run once per emission round instead of every
-    iteration — but per-lane decisions are unchanged: tokens must equal both
-    the standard XLA while_loop impl and the eager torch oracle exactly."""
+    iteration, and the advance scan looks K frames ahead — but per-lane
+    decisions are unchanged: tokens must equal both the standard XLA
+    while_loop impl and the eager torch oracle exactly."""
     import dataclasses
 
-    from rnnt_inference_tpu.models.decoder import set_decode_impl
+    from rnnt_inference_tpu.models.decoder import set_decode_impl, set_labelloop_k
 
     params = dataclasses.replace(SMALL, max_symbols_per_step=cap)
     T, N = 14, 5
@@ -151,11 +152,13 @@ def test_labelloop_matches_xla_and_reference(cap):
 
     try:
         set_decode_impl("labelloop")
+        set_labelloop_k(k)
         jax.clear_caches()
         res_ll, lens_ll = greedy_decode(w, x, x_lens, params=params)
         res_ll, lens_ll = np.asarray(res_ll), np.asarray(lens_ll)
     finally:
         set_decode_impl("xla")
+        set_labelloop_k(4)
         jax.clear_caches()
     res, lens = greedy_decode(w, x, x_lens, params=params)
     np.testing.assert_array_equal(lens_ll, np.asarray(lens))
