@@ -215,6 +215,22 @@ def _greedy_decode_chunk_labelloop(
     max_outer = T2 * params.max_symbols_per_step + 2
     max_inner = -(-T2 // K) + 2
 
+    # Phase B (emit + prediction refresh) as ONE fused Pallas kernel
+    # (ops/decode_pallas.py labelloop_refresh_pallas): opt-in via
+    # RNNT_LABELLOOP_PALLAS=1 while TPU timing is pending; bit-equal to the
+    # XLA phase B (tests/test_decode_pallas.py).
+    use_pallas_b = (
+        _os.environ.get("RNNT_LABELLOOP_PALLAS", "0") == "1"
+        and N % 8 == 0
+        and (N <= 256 or N % 256 == 0)
+    )
+    if use_pallas_b:
+        from rnnt_inference_tpu.ops import decode_pallas as dp
+
+        interpret = jax.default_backend() == "cpu"
+        pw = dp._pad_pred_weights(weights, params)
+        P = params.pred_hidden_size
+
     jw = weights.joint
     fproj = jnp.dot(
         f.astype(jw.w1_trans.dtype), jw.w1_trans, preferred_element_type=jnp.float32
@@ -301,28 +317,55 @@ def _greedy_decode_chunk_labelloop(
              jnp.zeros((N,), jnp.int32), jnp.zeros((N,), bool), jnp.int32(0)),
         )
 
-        # phase B — standard 4.1-4.3 for every holding lane at once
-        res_idx = res_idx + emit.astype(jnp.int32)
-        write_idx = jnp.where(emit, res_idx, params.max_res_len)  # OOB -> drop
-        res = res.at[batch_arange, write_idx].set(sym.astype(res.dtype), mode="drop")
-        symbols_added = symbols_added + emit.astype(jnp.int32)
-        pre_g = jnp.where(emit, sym, pre_g)
-        sel = emit[None, :, None]
-        hg = jnp.where(sel, hgc, hg)
-        cg = jnp.where(sel, cgc, cg)
-        # refresh caches from the committed state (unchanged lanes recompute
-        # identical values — deterministic, so their caches stay consistent)
-        gproj, hgc, cgc = pred_caches(pre_g, hg, cg)
+        # phase B — standard 4.1-4.3 for every holding lane at once, then
+        # refresh the caches from the committed state (unchanged lanes
+        # recompute identical values — deterministic, so stay consistent)
+        if use_pallas_b:
+            col = lambda v: v.astype(jnp.int32)[:, None]
+            lanes_out, hg, cg, hgc, cgc, gproj = dp.labelloop_refresh_pallas(
+                (col(sym), col(emit), col(pre_g), col(res_idx),
+                 col(symbols_added)),
+                hg, cg, hgc, cgc, pw, params, interpret=interpret,
+            )
+            pre_g2, res_idx2, symadd2, write_idx2 = lanes_out
+            res = res.at[batch_arange, write_idx2[:, 0]].set(
+                sym.astype(res.dtype), mode="drop"
+            )
+            pre_g, res_idx = pre_g2[:, 0], res_idx2[:, 0]
+            symbols_added = symadd2[:, 0]
+        else:
+            res_idx = res_idx + emit.astype(jnp.int32)
+            write_idx = jnp.where(emit, res_idx, params.max_res_len)  # OOB -> drop
+            res = res.at[batch_arange, write_idx].set(
+                sym.astype(res.dtype), mode="drop"
+            )
+            symbols_added = symbols_added + emit.astype(jnp.int32)
+            pre_g = jnp.where(emit, sym, pre_g)
+            sel = emit[None, :, None]
+            hg = jnp.where(sel, hgc, hg)
+            cg = jnp.where(sel, cgc, cg)
+            gproj, hgc, cgc = pred_caches(pre_g, hg, cg)
         return (res, res_idx, pre_g, hg, cg, gproj, hgc, cgc,
                 time_idx, symbols_added, finish, it + 1)
 
-    gproj0, hgc0, cgc0 = pred_caches(state.pre_g, state.hg, state.cg)
+    if use_pallas_b:
+        hg0 = dp.pad_state(state.hg, P)
+        cg0 = dp.pad_state(state.cg, P)
+        zero = jnp.zeros((N, 1), jnp.int32)
+        # emit=0 pass: commits nothing, just computes the initial caches
+        _, _, _, hgc0, cgc0, gproj0 = dp.labelloop_refresh_pallas(
+            (zero, zero, state.pre_g.astype(jnp.int32)[:, None], zero, zero),
+            hg0, cg0, hg0, cg0, pw, params, interpret=interpret,
+        )
+    else:
+        hg0, cg0 = state.hg, state.cg
+        gproj0, hgc0, cgc0 = pred_caches(state.pre_g, state.hg, state.cg)
     carry0 = (
         state.res,
         state.res_idx,
         state.pre_g,
-        state.hg,
-        state.cg,
+        hg0,
+        cg0,
         gproj0,
         hgc0,
         cgc0,
@@ -334,6 +377,9 @@ def _greedy_decode_chunk_labelloop(
     res, res_idx, pre_g, hg, cg, *_ = jax.lax.while_loop(
         outer_cond, outer_body, carry0
     )
+    if use_pallas_b:
+        hg = dp.unpad_state(hg, P)
+        cg = dp.unpad_state(cg, P)
     return DecodeState(
         enc=state.enc, res=res, res_idx=res_idx, pre_g=pre_g, hg=hg, cg=cg
     )
