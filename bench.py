@@ -61,10 +61,44 @@ from rnnt_inference_tpu.runtime.offline import OfflineRunner  # noqa: F401
 from rnnt_inference_tpu.runtime.qsl import QuerySampleLibrary
 
 BASELINE_AUDIO_S_PER_S = 46500.0
+LAST_GOOD_PATH = os.environ.get(
+    "BENCH_LAST_GOOD_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".bench_last_good.json"),
+)
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _emit_unavailable(why: str):
+    """Exactly one JSON line, then exit.  If a previous successful run left
+    a last-known-good record, re-emit it marked ``"stale": true`` (a dated
+    real measurement beats a zero when the outage is a relay artifact,
+    VERDICT r3 item 6); otherwise emit the explicit zero/error record."""
+    log(f"backend unavailable: {why}")
+    payload = dict(
+        metric="offline_audio_seconds_per_second",
+        value=0,
+        unit="audio-s/s",
+        vs_baseline=0,
+        error=f"TPU backend unavailable: {why}",
+    )
+    rc = 1
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            prev = json.load(f)
+        prev["stale"] = True
+        prev["error"] = f"TPU backend unavailable: {why}; re-emitting " \
+            f"last-known-good from {prev.get('measured_at', 'unknown time')}"
+        payload, rc = prev, 0
+    except (OSError, ValueError):
+        pass
+    print(json.dumps(payload), flush=True)
+    # any wedged probe thread is daemonic; _exit skips atexit hooks that
+    # might touch the dead backend
+    os._exit(rc)
 
 
 def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
@@ -196,9 +230,18 @@ def main():
 
     set_decode_impl(os.environ.get("RNNT_DECODE_IMPL", "pallas"))
 
-    # Backend deadline: the relayed TPU has multi-hour outages during which
-    # jax.devices() blocks FOREVER (no error).  A bench that can never finish
-    # must fail loudly with its one JSON line instead of hanging the caller.
+    # Backend resilience (round-3 lesson: a transient relay outage must
+    # delay the measurement, not erase it).  Phase 1: subprocess probes with
+    # exponential backoff up to BENCH_DEADLINE_S (default 3 h) — a wedged
+    # relay costs one probe-timeout per attempt, never a hung bench.
+    # Phase 2: once a throwaway probe succeeds, init in-process under a
+    # thread guard (the backend could flap between probe and init).
+    from rnnt_inference_tpu.utils.backend import wait_for_backend
+
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "10800"))
+    if not wait_for_backend(deadline_s, log=log):
+        _emit_unavailable(f"backend never came up within {deadline_s:.0f}s")
+
     import threading
 
     probe_done = threading.Event()
@@ -212,27 +255,12 @@ def main():
         probe_done.set()
 
     threading.Thread(target=_probe, daemon=True).start()
-    deadline_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "900"))
-    if not probe_done.wait(deadline_s) or "error" in probe_out:
+    init_timeout_s = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", "900"))
+    if not probe_done.wait(init_timeout_s) or "error" in probe_out:
         why = probe_out.get(
-            "error", f"jax.devices() still blocked after {deadline_s:.0f}s"
+            "error", f"jax.devices() still blocked after {init_timeout_s:.0f}s"
         )
-        log(f"backend unavailable: {why}")
-        print(
-            json.dumps(
-                dict(
-                    metric="offline_audio_seconds_per_second",
-                    value=0,
-                    unit="audio-s/s",
-                    vs_baseline=0,
-                    error=f"TPU backend unavailable: {why}",
-                )
-            ),
-            flush=True,
-        )
-        # the blocked probe thread is daemonic; _exit skips any atexit hooks
-        # that might touch the wedged backend
-        os._exit(1)
+        _emit_unavailable(why)
 
     log(f"backend={jax.default_backend()} devices={probe_out['devices']}")
     import dataclasses as _dc
@@ -349,26 +377,36 @@ def main():
     # protocol produced the headline number (median-per-rep vs total-wall,
     # emission mode, symbol cap, dtype, rep count) so downstream comparisons
     # against the reference baseline are reproducible
-    print(
-        json.dumps(
-            {
-                "metric": "offline_audio_seconds_per_second",
-                "value": round(value, 1),
-                "unit": "audio-s/s",
-                "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 4),
-                "protocol": {
-                    "value_is": "median_per_rep",
-                    "total_wall_value": round(total_wall, 1),
-                    "reps": len(rep_walls),
-                    "dtype": bench_dtype,
-                    "emission": os.environ.get("BENCH_EMISSION", "blank"),
-                    "max_symbols_per_step": params.max_symbols_per_step,
-                    "batch": batch,
-                    "n_samples": n,
-                },
-            }
-        )
-    )
+    payload = {
+        "metric": "offline_audio_seconds_per_second",
+        "value": round(value, 1),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 4),
+        "protocol": {
+            "value_is": "median_per_rep",
+            "total_wall_value": round(total_wall, 1),
+            "reps": len(rep_walls),
+            "dtype": bench_dtype,
+            "emission": os.environ.get("BENCH_EMISSION", "blank"),
+            "max_symbols_per_step": params.max_symbols_per_step,
+            "batch": batch,
+            "n_samples": n,
+        },
+    }
+    print(json.dumps(payload))
+    # record last-known-good for the stale-fallback path — only for the
+    # default (headline) configuration, so a stale re-emit never reports an
+    # A/B leg's number as the headline
+    if not any(k in os.environ for k in (
+        "BENCH_DTYPE", "BENCH_EMISSION", "BENCH_SYM_CAP", "BENCH_N",
+        "BENCH_BATCH", "BENCH_SECONDS", "RNNT_DECODE_IMPL",
+    )):
+        try:
+            with open(LAST_GOOD_PATH, "w") as f:
+                json.dump(dict(payload, measured_at=time.strftime(
+                    "%Y-%m-%dT%H:%M:%S")), f)
+        except OSError as e:
+            log(f"last-good record not written: {e}")
 
 
 if __name__ == "__main__":

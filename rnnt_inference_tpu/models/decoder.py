@@ -205,6 +205,17 @@ def _greedy_decode_chunk_labelloop(
     joint recomputes both projections every iteration
     (modeling_rnnt.py:268-283, decoder.py:125-168).
     """
+    # the window algebra gates frames j>=1 on "an advance reset the counter",
+    # which is only equivalent to the standard per-frame cap when at least
+    # one symbol per frame is allowed; cap=0 (emit nothing, ever) would
+    # silently emit from frames j>=1 here while the XLA body and the torch
+    # oracle emit none (ADVICE r3) — unsupported, fail loudly
+    if params.max_symbols_per_step < 1:
+        raise ValueError(
+            "label-looping decode requires max_symbols_per_step >= 1 "
+            f"(got {params.max_symbols_per_step}); use the xla/pallas "
+            "schedule for the degenerate cap=0 config"
+        )
     T2, N, _ = f.shape
     K = min(_LABELLOOP_K, T2)
     eos_idx = jnp.maximum(f_lens - 1, 0)

@@ -46,6 +46,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def server_state_sharding(mesh: Mesh, state):
+    """Sharding pytree for ServerState (and its nested DecodeState): shard
+    the SLOT axis over "data".  Every leaf carries the slot axis at
+    position 0 for per-slot vectors/matrices ((N,), (N, R)) and position 1
+    for layer-stacked / time-major tensors ((L, N, H), (T, N, C)) — the
+    layout invariant of runtime/server.py's state pytrees.  With slots
+    sharded, server_step's window gather and the decode while_loop run
+    per-shard; the loop cond's jnp.all over slots becomes the one
+    per-iteration all-reduce (reference analog: each instance thread owns
+    a private PipelineState, torch_sut.cpp:470-540 — here one logical
+    state spans the mesh)."""
+
+    def spec(leaf):
+        if leaf.ndim >= 3:
+            return NamedSharding(mesh, P(None, "data"))
+        return NamedSharding(mesh, P("data"))
+
+    return jax.tree.map(spec, state)
+
+
 def weight_shardings(mesh: Mesh, weights, tensor_parallel: bool = True):
     """Sharding pytree for RNNTWeights.
 

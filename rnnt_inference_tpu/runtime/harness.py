@@ -224,6 +224,8 @@ def run_offline_native(
     polled = 0
     tokens_first_cycle: dict = {}
     t_host0 = time.time()
+    sample_lens = store.lengths  # raw waveform samples per store row
+    completed_audio_samples = 0  # summed over ACTUALLY completed queries
 
     def poll_until(q_max: int) -> None:
         # drain the issuer's bounded queue at least past query q_max (ids
@@ -253,6 +255,11 @@ def run_offline_native(
                     tokens_first_cycle[int(i)] = (
                         res_all[r, : lens_all[r]].astype(np.int32)
                     )
+                # attribute this query's audio by its actual sample index:
+                # after a max_wall_s break the completed remainder is a
+                # bucket-ordered subset, not the first rows (ADVICE r3)
+                nonlocal completed_audio_samples
+                completed_audio_samples += int(sample_lens[int(i)])
                 lg.complete(q)
 
         for cycle in range(n_cycles):
@@ -275,11 +282,7 @@ def run_offline_native(
         lg.close()
 
     wall = rep["wall_seconds"]
-    full, rem = divmod(rep["completed"], n)
-    lens = store.lengths
-    audio_s = (
-        full * store.audio_seconds + float(lens[:rem].sum()) / cfg.sample_rate
-    )
+    audio_s = completed_audio_samples / cfg.sample_rate
     hyps = [
         seq_to_sen(tokens_first_cycle[i], len(tokens_first_cycle[i]))
         for i in sorted(tokens_first_cycle)

@@ -43,21 +43,36 @@ def main():
     if os.environ.get("RNNT_INT8_PIPE", "0") == "1":
         # on-device equality gate: the pipelined kernel must match the plain
         # kernel bit-for-bit on real hardware, not just in interpret mode
-        # (output-window rotation across non-contiguous revisits is the risk)
+        # (output-window rotation across non-contiguous revisits is the risk).
+        # The two recurrence entry points are called DIRECTLY — threading the
+        # choice as code, not by mutating the env between traces, so the gate
+        # cannot degenerate into comparing one kernel against itself
+        # (ADVICE r3).
+        from rnnt_inference_tpu.ops.lstm_pallas import (
+            _quant_lstm_recurrence,
+            _quant_lstm_recurrence_pipelined,
+        )
+
         Tc, Nc = 16, 512
-        xc2 = x[:Tc, :Nc]
-        lc2 = jnp.full((Nc,), Tc, jnp.int32)
-        sc = init_encoder_state(Nc, params, jnp.int8)
-        y_pipe = jax.jit(
-            lambda x: model.transcription(wq, x, lc2, sc, params)[0]
-        )(xc2)
-        y_pipe = np.asarray(y_pipe)
-        os.environ["RNNT_INT8_PIPE"] = "0"
-        y_plain = jax.jit(
-            lambda x: model.transcription(wq, x, lc2, sc, params)[0]
-        )(xc2)
-        y_plain = np.asarray(y_plain)
-        os.environ["RNNT_INT8_PIPE"] = "1"
+        layer = wq.pre_rnn[0]
+        rngk = jax.random.PRNGKey(3)
+        x_i8 = jax.random.randint(
+            rngk, (Tc, Nc, layer.w_ih.shape[0]), -128, 128, dtype=jnp.int32
+        ).astype(jnp.int8)
+        h_i8 = jnp.zeros((Nc, layer.w_hh.shape[0]), jnp.int8)
+        c0 = jnp.zeros((Nc, layer.w_hh.shape[0]), jnp.float32)
+        scalars = jnp.zeros((layer.w_hh.shape[1],), jnp.float32)
+        scalars = scalars.at[0].set(layer.rb_scale)
+        scalars = scalars.at[1].set(layer.in_scale)
+        scalars = scalars.at[2].set(layer.out_scale)
+        scales = jnp.stack([scalars, layer.b.astype(jnp.float32)])
+        args = (x_i8, layer.w_ih, layer.w_hh, h_i8, c0, scales)
+        y_pipe = np.asarray(jax.jit(
+            lambda *a: _quant_lstm_recurrence_pipelined(*a, emit_f32=False)[0]
+        )(*args))
+        y_plain = np.asarray(jax.jit(
+            lambda *a: _quant_lstm_recurrence(*a, emit_f32=False)[0]
+        )(*args))
         if np.array_equal(y_pipe, y_plain):
             print("pipe-vs-plain on-device equality: OK")
         else:

@@ -19,7 +19,18 @@ import jax
 # site customizations can override JAX_PLATFORMS)
 if os.environ.get("PLATFORM"):
     jax.config.update("jax_platforms", os.environ["PLATFORM"])
-print(f"  backend: {jax.default_backend()} devices={jax.devices()}")
+    print(f"  backend: {jax.default_backend()} devices={jax.devices()}")
+else:
+    # the relayed TPU backend can block jax.devices() FOREVER during an
+    # outage; probe in a killable subprocess with a deadline so stage -1
+    # fails loudly instead of wedging the staged run (ADVICE r3)
+    from rnnt_inference_tpu.utils.backend import probe_backend
+    timeout = float(os.environ.get("PREPARE_PROBE_TIMEOUT_S", "300"))
+    ok, detail = probe_backend(timeout_s=timeout)
+    if not ok:
+        raise SystemExit(f"  accelerator backend unavailable: {detail}\n"
+                         "  (set PLATFORM=cpu to prepare without it)")
+    print(f"  backend probe: {detail}")
 EOF
 
 echo "== native mini-loadgen =="
