@@ -305,6 +305,10 @@ def main():
     log(f"store: {n} utts, {store.audio_seconds:.0f} audio-s; "
         f"buckets={qsl.wav_buckets}")
 
+    # BENCH_PACKED=1: sequence-packed Offline (runtime/packing.py) — no
+    # bucket padding or dead rows; utterances concatenate along time on a
+    # BENCH_PACK_CHUNK-frame grain with per-boundary state resets
+    packed = os.environ.get("BENCH_PACKED", "0") == "1"
     t0 = time.time()
     report = run_offline(
         weights,
@@ -315,6 +319,8 @@ def main():
         warmup=True,  # untimed: stage to HBM + compile bucket shapes
         device_resident=True,
         wav_buckets_s=buckets,
+        packed=packed,
+        chunk_frames=int(os.environ.get("BENCH_PACK_CHUNK", "16")),
         # 20 s window: relay RPC stalls (hundreds of ms, occasionally
         # seconds) amortize; measured run-to-run spread drops well under
         # the +-10% seen at 3 s windows
@@ -327,11 +333,19 @@ def main():
         f"per-rep walls {report.extra['rep_wall_seconds']}; "
         f"token readback (untimed) {report.extra['readback_seconds']}s")
 
+    if packed:
+        log(
+            f"packing: efficiency={report.extra['packing_efficiency']} "
+            f"chunks={report.extra['pack_chunks']} x "
+            f"{report.extra['chunk_frames']} frames"
+        )
+
     # decode-loop iteration statistics (VERDICT r1 item 8): the while_loop
     # is lock-step, so each batch costs max over its lanes of
     # (post-stack frames + emitted symbols); padding lanes are finished at
     # iteration 0.  Reconstructed host-side from the deterministic batch
-    # plan + per-sample emission counts — no extra device work.
+    # plan + per-sample emission counts — no extra device work.  (The packed
+    # path has its own accounting above: one loop, balanced lanes.)
     from rnnt_inference_tpu.runtime.qsl import batch_plan
 
     res_lens = [len(h) for h in report.hypotheses]
@@ -391,6 +405,7 @@ def main():
             "max_symbols_per_step": params.max_symbols_per_step,
             "batch": batch,
             "n_samples": n,
+            "packed": packed,
         },
     }
     print(json.dumps(payload))
@@ -399,7 +414,7 @@ def main():
     # A/B leg's number as the headline
     if not any(k in os.environ for k in (
         "BENCH_DTYPE", "BENCH_EMISSION", "BENCH_SYM_CAP", "BENCH_N",
-        "BENCH_BATCH", "BENCH_SECONDS", "RNNT_DECODE_IMPL",
+        "BENCH_BATCH", "BENCH_SECONDS", "RNNT_DECODE_IMPL", "BENCH_PACKED",
     )):
         try:
             with open(LAST_GOOD_PATH, "w") as f:

@@ -66,6 +66,43 @@ def init_decode_state(
     )
 
 
+def masked_reset_decode(
+    state: DecodeState,
+    mask: jax.Array,  # (N,) bool — True = reset that lane
+    params: RNNTParams = RNNTParams(),
+    keep_res: bool = False,
+) -> DecodeState:
+    """Zero per-lane encoder+decoder state where mask is True (the
+    reference's finish_idx_ masked reset, metadata.cpp:122-143).
+
+    keep_res=True leaves the token buffer and write cursor untouched — the
+    sequence-packed Offline path (runtime/packing.py) resets the model
+    state at utterance boundaries while tokens of consecutive utterances
+    accumulate in the same lane's res buffer.
+    """
+    m1 = mask[None, :, None]  # for (L, N, H)
+    enc = state.enc
+    z = lambda a, m: jnp.where(m, jnp.zeros_like(a), a)
+    res, res_idx = state.res, state.res_idx
+    if not keep_res:
+        mr = mask[:, None]  # for (N, R)
+        res = jnp.where(mr, jnp.full_like(res, -1), res)
+        res_idx = jnp.where(mask, jnp.full_like(res_idx, -1), res_idx)
+    return DecodeState(
+        enc=model.EncoderState(
+            pre_h=z(enc.pre_h, m1),
+            pre_c=z(enc.pre_c, m1),
+            post_h=z(enc.post_h, m1),
+            post_c=z(enc.post_c, m1),
+        ),
+        res=res,
+        res_idx=res_idx,
+        pre_g=jnp.where(mask, jnp.full_like(state.pre_g, params.SOS), state.pre_g),
+        hg=z(state.hg, m1),
+        cg=z(state.cg, m1),
+    )
+
+
 # Which decode-step implementation greedy_decode_chunk uses: "xla" (the
 # while_loop body below) or "pallas" (ops/decode_pallas.py fused-step
 # kernel).  Trace-time switch, same contract as ops.lstm._LSTM_IMPL.
@@ -411,6 +448,34 @@ def greedy_decode_chunk(
         return _greedy_decode_chunk_labelloop(weights, state, f, f_lens, params)
     if _pallas_decode_eligible(weights, f.shape[1]):
         return _greedy_decode_chunk_pallas(weights, state, f, f_lens, params)
+    return _greedy_decode_chunk_xla(weights, state, f, f_lens, params)
+
+
+# Utterance-boundary marker in packed res buffers (runtime/packing.py): res
+# is int8 with tokens 0..28 and -1 padding, so -2 is free.
+PACK_BOUNDARY = -2
+
+
+def _greedy_decode_chunk_xla(
+    weights: RNNTWeights,
+    state: DecodeState,
+    f: jax.Array,
+    f_lens: jax.Array,
+    params: RNNTParams = RNNTParams(),
+    starts=None,
+) -> DecodeState:
+    """The XLA while_loop decode body.
+
+    starts (optional {T2, N} bool) marks packed utterance-start frames
+    (runtime/packing.py): advancing INTO a start frame resets the lane's
+    prediction state to exactly what a standalone decode would begin with
+    (pre_g=SOS, hg=cg=0; symbols_added is already 0 after an advance) and
+    writes a PACK_BOUNDARY marker into res so the host can split the
+    lane's accumulated tokens per utterance.  starts[0] is never entered
+    by an advance, so the first utterance needs no marker — lanes begin
+    fresh.  With starts=None the body is the plain single-utterance-per-
+    lane chunk decode.
+    """
     T2, N, _ = f.shape
     eos_idx = jnp.maximum(f_lens - 1, 0)
     finish0 = f_lens == 0
@@ -471,9 +536,27 @@ def greedy_decode_chunk(
 
         # 5.1-5.4: advance time
         update_f = ~update_g & ~finish
-        time_idx = time_idx + update_f.astype(jnp.int32)
-        finish = finish | (time_idx >= f_lens)
-        time_idx = jnp.minimum(time_idx, eos_idx)
+        new_time = time_idx + update_f.astype(jnp.int32)
+        finish = finish | (new_time >= f_lens)
+        new_time = jnp.minimum(new_time, eos_idx)
+        if starts is not None:
+            # packed timeline: crossing into an utterance-start frame
+            entering = (
+                update_f
+                & ~finish
+                & (new_time > time_idx)
+                & jnp.take_along_axis(starts, new_time[None, :], axis=0)[0]
+            )
+            pre_g = jnp.where(entering, params.SOS, pre_g)
+            sel_e = entering[None, :, None]
+            hg = jnp.where(sel_e, jnp.zeros_like(hg), hg)
+            cg = jnp.where(sel_e, jnp.zeros_like(cg), cg)
+            res_idx = res_idx + entering.astype(jnp.int32)
+            midx = jnp.where(entering, res_idx, params.max_res_len)
+            res = res.at[batch_arange, midx].set(
+                jnp.int8(PACK_BOUNDARY), mode="drop"
+            )
+        time_idx = new_time
         symbols_added = jnp.where(update_f, 0, symbols_added)
         return (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it + 1)
 

@@ -73,24 +73,12 @@ def init_server_state(
 
 def _masked_reset_decode(state: DecodeState, mask: jax.Array, params: RNNTParams) -> DecodeState:
     """Zero per-slot decoder+encoder state where mask is True (the reference's
-    finish_idx_ masked reset, metadata.cpp:122-143)."""
-    m1 = mask[None, :, None]  # for (L, N, H)
-    mr = mask[:, None]  # for (N, R)
-    enc = state.enc
-    z = lambda a, m: jnp.where(m, jnp.zeros_like(a), a)
-    return DecodeState(
-        enc=model.EncoderState(
-            pre_h=z(enc.pre_h, m1),
-            pre_c=z(enc.pre_c, m1),
-            post_h=z(enc.post_h, m1),
-            post_c=z(enc.post_c, m1),
-        ),
-        res=jnp.where(mr, jnp.full_like(state.res, -1), state.res),
-        res_idx=jnp.where(mask, jnp.full_like(state.res_idx, -1), state.res_idx),
-        pre_g=jnp.where(mask, jnp.full_like(state.pre_g, params.SOS), state.pre_g),
-        hg=z(state.hg, m1),
-        cg=z(state.cg, m1),
-    )
+    finish_idx_ masked reset, metadata.cpp:122-143).  Shared algebra lives in
+    models/decoder.py — slots clear their token buffers on reset (keep_res
+    False), unlike the packed Offline path which accumulates them."""
+    from rnnt_inference_tpu.models.decoder import masked_reset_decode
+
+    return masked_reset_decode(state, mask, params, keep_res=False)
 
 
 def server_insert(

@@ -80,6 +80,12 @@ def jobs(blank_delta):
         ("labelloop_k4_pallas", bench,
          bench_env(RNNT_DECODE_IMPL="labelloop", RNNT_LABELLOOP_K="4",
                    RNNT_LABELLOOP_PALLAS="1"), 5400),
+        # sequence-packed Offline (VERDICT item 5): no bucket pad/dead rows
+        ("packed", bench, bench_env(BENCH_PACKED="1"), 7200),
+        ("packed_chunk8", bench,
+         bench_env(BENCH_PACKED="1", BENCH_PACK_CHUNK="8"), 5400),
+        ("packed_chunk32", bench,
+         bench_env(BENCH_PACKED="1", BENCH_PACK_CHUNK="32"), 5400),
         # decode schedule under the bursty cap-30 regime
         ("symcap30", bench, bench_env(BENCH_SYM_CAP="30"), 5400),
         ("symcap30_labelloop", bench,

@@ -58,6 +58,14 @@ have_net() { [ "${SYNTHETIC_ONLY}" != "true" ]; }
 if [ "$STAGE" -le -1 ]; then
   echo '==> Stage -1: preparing environment'
   ./scripts/prepare_env.sh
+  if [ "$QUICK" = "true" ]; then
+    # golden regression gate: fixed-seed tokens across every numeric mode
+    # (f32/fake_quant/quant/labelloop/packed) must match the committed
+    # bundle byte-for-byte — the accuracy contract when real WER is
+    # unreachable (tests/test_golden.py)
+    echo '==> Stage -1b: golden-bundle regression gate (QUICK)'
+    python -m pytest tests/test_golden.py -q
+  fi
 fi
 
 if [ "$STAGE" -le 0 ]; then

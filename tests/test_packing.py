@@ -1,0 +1,156 @@
+"""Sequence-packed Offline path (runtime/packing.py): token-exactness vs the
+standalone decode, plan correctness, and the harness integration.
+
+The packed path composes three independently-tested mechanisms — bucketed
+featurization, masked state resets, split-chunk streaming — so the contract
+here is END-TO-END exactness: for every utterance, packed tokens must equal
+the tokens of a standalone greedy_decode, bit for bit, regardless of lane
+assignment, chunk alignment, partial final chunks, or neighbors.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
+from rnnt_inference_tpu.data.dataset import SampleStore
+from rnnt_inference_tpu.models.decoder import greedy_decode
+from rnnt_inference_tpu.models.weights import init_weights
+from rnnt_inference_tpu.ops.features import log_mel_features
+from rnnt_inference_tpu.runtime.harness import run_offline
+from rnnt_inference_tpu.runtime.packing import (
+    PackedOfflineRunner,
+    make_pack_plan,
+)
+from rnnt_inference_tpu.runtime.qsl import QuerySampleLibrary
+
+SMALL = RNNTParams(
+    trans_input_size=240,
+    trans_hidden_size=64,
+    pred_hidden_size=32,
+    joint_hidden_size=32,
+    max_res_len=128,
+)
+CFG = FeaturizerConfig()
+
+
+def _store(n=10, seed=0, max_seconds=2.5):
+    return SampleStore.synthetic(
+        n=n, seed=seed, min_seconds=0.3, max_seconds=max_seconds,
+        mean_seconds=1.0,
+    )
+
+
+def test_pack_plan_shape_and_coverage():
+    lens = np.array([33, 17, 64, 5, 48, 1, 16])
+    plan = make_pack_plan(lens, n_lanes=3, chunk_frames=16)
+    # every utterance placed exactly once, frames conserved
+    assert sorted(e[0] for e in plan.entries) == list(range(7))
+    assert plan.chunk_lens.sum() == lens.sum()
+    assert plan.resets.sum() == 7
+    # balanced: C within one max-utterance of the optimum
+    opt = int(np.ceil((-(-lens // 16)).sum() / 3))
+    assert plan.n_chunks <= opt + int(-(-lens.max() // 16))
+    # per-entry layout is chunk-aligned and in-bounds
+    for _i, lane, c0, F in plan.entries:
+        nc = -(-F // 16)
+        assert c0 + nc <= plan.n_chunks
+        assert plan.resets[c0, lane]
+    assert 0.0 < plan.packing_efficiency <= 1.0
+
+
+def _standalone_tokens(w, store, params):
+    """Decode each utterance alone (batch of 1, unpadded)."""
+    toks = []
+    for s in store.samples:
+        wav = jnp.asarray(s[None, :])
+        lens = jnp.asarray([s.shape[0]], jnp.int32)
+        feats, flens = jax.jit(
+            log_mel_features, static_argnames="cfg"
+        )(wav, lens, CFG)
+        res, rlens = greedy_decode(w, feats, flens, params=params)
+        toks.append(np.asarray(res)[0, : int(rlens[0])].astype(np.int32))
+    return toks
+
+
+@pytest.mark.parametrize("n_lanes,chunk_frames", [(3, 16), (2, 8), (5, 32)])
+def test_packed_tokens_exact(n_lanes, chunk_frames):
+    """Packed decode == standalone decode for every utterance, across lane
+    counts and chunk grains (multi-utterance lanes, partial final chunks,
+    idle tail chunks)."""
+    store = _store(9, seed=1)
+    w = init_weights(jax.random.PRNGKey(0), SMALL)
+    qsl = QuerySampleLibrary(store, CFG, wav_buckets_s=(1.0, 2.0, 3.0))
+    runner = PackedOfflineRunner(
+        w, SMALL, CFG, n_lanes=n_lanes, chunk_frames=chunk_frames,
+        batch_size=4,
+    )
+    plan = runner.stage(qsl)
+    assert plan.packing_efficiency > 0.5
+    result = runner.run_device()
+    ref = _standalone_tokens(w, store, SMALL)
+    assert len(result.tokens) == len(ref)
+    for i, (got, want) in enumerate(zip(result.tokens, ref)):
+        assert np.array_equal(got, want), (
+            f"sample {i}: packed {got} != standalone {want}"
+        )
+
+
+def test_packed_tokens_exact_quant():
+    """Same exactness with the int8-quantized encoder (the headline config)."""
+    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
+
+    store = _store(6, seed=2)
+    w32 = init_weights(jax.random.PRNGKey(0), SMALL)
+    xc = jax.random.normal(jax.random.PRNGKey(1), (16, 4, SMALL.trans_input_size))
+    lc = jnp.full((4,), 16, jnp.int32)
+    wq = quantize_weights(w32, calibrate(w32, [(xc, lc)], SMALL), SMALL)
+
+    qsl = QuerySampleLibrary(store, CFG, wav_buckets_s=(1.0, 2.0, 3.0))
+    runner = PackedOfflineRunner(
+        wq, SMALL, CFG, n_lanes=2, chunk_frames=16, batch_size=4
+    )
+    runner.stage(qsl)
+    result = runner.run_device()
+    ref = _standalone_tokens(wq, store, SMALL)
+    for i, (got, want) in enumerate(zip(result.tokens, ref)):
+        assert np.array_equal(got, want), f"sample {i} mismatch"
+
+
+def test_run_offline_packed_harness():
+    """run_offline(packed=True) reports the same hypotheses as the batched
+    path plus the packing-efficiency metric."""
+    store = _store(7, seed=3)
+    w = init_weights(jax.random.PRNGKey(0), SMALL)
+    ref = run_offline(
+        w, store, SMALL, CFG, batch_size=4, warmup=False,
+        wav_buckets_s=(1.0, 2.0, 3.0),
+    )
+    rep = run_offline(
+        w, store, SMALL, CFG, batch_size=4, warmup=False, packed=True,
+        chunk_frames=16, wav_buckets_s=(1.0, 2.0, 3.0),
+    )
+    assert rep.hypotheses == ref.hypotheses
+    assert 0.5 < rep.extra["packing_efficiency"] <= 1.0
+    assert rep.samples == len(store)
+
+
+def test_packed_res_capacity_never_truncates():
+    """The packed res buffer is sized so no token or marker is dropped even
+    when every frame emits the per-frame cap."""
+    store = _store(4, seed=4, max_seconds=1.0)
+    # bias emission-heavy: cap 3 symbols/frame
+    params = dataclasses.replace(SMALL, max_symbols_per_step=3)
+    w = init_weights(jax.random.PRNGKey(5), params)
+    qsl = QuerySampleLibrary(store, CFG, wav_buckets_s=(1.0,))
+    runner = PackedOfflineRunner(
+        w, params, CFG, n_lanes=2, chunk_frames=8, batch_size=2
+    )
+    runner.stage(qsl)
+    result = runner.run_device()
+    ref = _standalone_tokens(w, store, params)
+    for got, want in zip(result.tokens, ref):
+        assert np.array_equal(got, want)
