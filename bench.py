@@ -228,7 +228,7 @@ def main():
     set_lstm_impl(os.environ.get("RNNT_LSTM_IMPL", "pallas"))
     from rnnt_inference_tpu.models.decoder import set_decode_impl
 
-    set_decode_impl(os.environ.get("RNNT_DECODE_IMPL", "pallas"))
+    set_decode_impl(os.environ.get("RNNT_DECODE_IMPL", "auto"))
 
     # Backend resilience (round-3 lesson: a transient relay outage must
     # delay the measurement, not erase it).  Phase 1: subprocess probes with

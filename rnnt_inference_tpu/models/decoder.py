@@ -103,38 +103,38 @@ def masked_reset_decode(
     )
 
 
-# Which decode-step implementation greedy_decode_chunk uses: "xla" (the
-# while_loop body below) or "pallas" (ops/decode_pallas.py fused-step
-# kernel).  Trace-time switch, same contract as ops.lstm._LSTM_IMPL.
+# Which decode-step implementation greedy_decode_chunk uses:
+#   "auto"   — pallas fused-step kernel on TPU (the measured winner in every
+#              serving regime, round-4 measurement program), XLA while_loop
+#              body elsewhere (CPU tests / virtual meshes).
+#   "xla" | "pallas" — explicit override (RNNT_DECODE_IMPL env or
+#              set_decode_impl), same trace-time contract as
+#              ops.lstm._LSTM_IMPL.
+# A third schedule (NeMo-style label-looping, arXiv:2406.06220) was built
+# and measured in rounds 3-4: token-exact, but SLOWER in every regime —
+# dense Offline -5..-11%, burst cap-30 -35%, Server cadence -13%
+# (docs/PERFORMANCE.md "Label-looping decode").  Deleted per the
+# keep-winners rule; the perf log retains the design + numbers.
 import os as _os
 
-_DECODE_IMPL = _os.environ.get("RNNT_DECODE_IMPL", "xla")
+_DECODE_IMPL = _os.environ.get("RNNT_DECODE_IMPL", "auto")
 
 
 def set_decode_impl(impl: str) -> None:
     global _DECODE_IMPL
-    assert impl in ("xla", "pallas", "labelloop")
+    assert impl in ("auto", "xla", "pallas")
     _DECODE_IMPL = impl
 
 
-# Label-looping advance-scan lookahead (frames evaluated per inner
-# iteration).  K=1 scans frame-by-frame; the inner loop then runs
-# max-lane-gap iterations per emission round (the max over N lanes of a
-# ~geometric gap is 3-4x its mean at N=1024), so K>1 amortizes the scan:
-# one window usually covers the whole round.  The joint tail evaluated K
-# times is ~7% of the prediction step's FLOPs at K=4.
-_LABELLOOP_K = int(_os.environ.get("RNNT_LABELLOOP_K", "4"))
-
-
-def set_labelloop_k(k: int) -> None:
-    global _LABELLOOP_K
-    assert k >= 1
-    _LABELLOOP_K = k
+def _resolved_impl() -> str:
+    if _DECODE_IMPL == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _DECODE_IMPL
 
 
 def _pallas_decode_eligible(weights, N: int) -> bool:
     return (
-        _DECODE_IMPL == "pallas"
+        _resolved_impl() == "pallas"
         and N % 8 == 0
         and (N <= 256 or N % 256 == 0)
     )
@@ -209,230 +209,6 @@ def _greedy_decode_chunk_pallas(
     )
 
 
-def _greedy_decode_chunk_labelloop(
-    weights: RNNTWeights,
-    state: DecodeState,
-    f: jax.Array,
-    f_lens: jax.Array,
-    params: RNNTParams,
-) -> DecodeState:
-    """Label-looping schedule of the SAME greedy semantics (token-identical
-    to the XLA body, bit-for-bit).
-
-    The standard loop recomputes the prediction LSTM every iteration even
-    though its inputs (pre_g, hg, cg) only change on an EMISSION — between
-    emissions the prediction output is a constant, and the per-iteration
-    cost is ~90% prediction matmuls (2 LSTM layers on cat(320,320) vs a
-    512->29 joint tail).  Label-looping (NeMo-style, arXiv:2406.06220;
-    NVIDIA "speed-of-light" greedy, arXiv:2406.03791) swaps the loops:
-
-      outer round: ONE batched prediction step refreshes a cached
-          prediction projection (gproj = g @ W1_pred) for all lanes;
-      inner scan:  joint-from-cache only — lanes advance through blank
-          frames; a lane that would emit HOLDS at its frame until every
-          active lane is holding (or finished);
-      then all pending lanes emit together and the caches refresh.
-
-    Per-lane decision sequences are unchanged — each lane sees the same
-    (frame, prediction-state) pairs in the same order as the standard
-    schedule, and the joint math below matches the XLA body's operation
-    order exactly (fi_proj + gproj + b1), so tokens are bit-identical.
-    Prediction evaluations drop from (frames + symbols) to (symbols + 1)
-    per lane-max.  The reference cannot reorder this way: its fused AMX
-    joint recomputes both projections every iteration
-    (modeling_rnnt.py:268-283, decoder.py:125-168).
-    """
-    # the window algebra gates frames j>=1 on "an advance reset the counter",
-    # which is only equivalent to the standard per-frame cap when at least
-    # one symbol per frame is allowed; cap=0 (emit nothing, ever) would
-    # silently emit from frames j>=1 here while the XLA body and the torch
-    # oracle emit none (ADVICE r3) — unsupported, fail loudly
-    if params.max_symbols_per_step < 1:
-        raise ValueError(
-            "label-looping decode requires max_symbols_per_step >= 1 "
-            f"(got {params.max_symbols_per_step}); use the xla/pallas "
-            "schedule for the degenerate cap=0 config"
-        )
-    T2, N, _ = f.shape
-    K = min(_LABELLOOP_K, T2)
-    eos_idx = jnp.maximum(f_lens - 1, 0)
-    finish0 = f_lens == 0
-    batch_arange = jnp.arange(N, dtype=jnp.int32)
-    # safety bounds only — unreachable by the mask algebra (per lane the
-    # standard loop runs at most frames + cap*frames iterations)
-    max_outer = T2 * params.max_symbols_per_step + 2
-    max_inner = -(-T2 // K) + 2
-
-    # Phase B (emit + prediction refresh) as ONE fused Pallas kernel
-    # (ops/decode_pallas.py labelloop_refresh_pallas): opt-in via
-    # RNNT_LABELLOOP_PALLAS=1 while TPU timing is pending; bit-equal to the
-    # XLA phase B (tests/test_decode_pallas.py).
-    use_pallas_b = (
-        _os.environ.get("RNNT_LABELLOOP_PALLAS", "0") == "1"
-        and N % 8 == 0
-        and (N <= 256 or N % 256 == 0)
-    )
-    if use_pallas_b:
-        from rnnt_inference_tpu.ops import decode_pallas as dp
-
-        interpret = jax.default_backend() == "cpu"
-        pw = dp._pad_pred_weights(weights, params)
-        P = params.pred_hidden_size
-
-    jw = weights.joint
-    fproj = jnp.dot(
-        f.astype(jw.w1_trans.dtype), jw.w1_trans, preferred_element_type=jnp.float32
-    )  # (T2, N, J) f32
-
-    def pred_caches(pre_g, hg, cg):
-        g, hg_new, cg_new = model.prediction_step(weights, pre_g, hg, cg, params)
-        gproj = jnp.dot(
-            g.astype(jw.w1_pred.dtype), jw.w1_pred,
-            preferred_element_type=jnp.float32,
-        )
-        return gproj, hg_new, cg_new
-
-    offs = jnp.arange(K, dtype=jnp.int32)
-
-    def window_scan(gproj, time_idx, symbols_added, finish):
-        """Evaluate the joint-from-cache at frames time_idx + [0..K) and move
-        each active lane to its first emitting frame in the window (hold),
-        past the window (continue), or to finish.  Frame-by-frame decisions
-        are EXACTLY the standard algebra: frame j=0 checks the carried
-        symbols_added cap, frames j>=1 see symbols_added=0 (an advance always
-        resets it), advancing past f_lens finishes the lane (time clamped to
-        eos).  Lanes already holding re-evaluate idempotently at j=0."""
-        tj = time_idx[None, :] + offs[:, None]  # (K, N)
-        tj_c = jnp.minimum(tj, eos_idx[None, :])  # gather-safe
-        fi = jnp.take_along_axis(fproj, tj_c[:, :, None], axis=0)  # (K, N, J)
-        # operation order matches the XLA body exactly: (fi + gproj) + b1
-        y = fi + gproj[None] + jw.b1.astype(jnp.float32)
-        y = jnp.maximum(y, 0.0).astype(jw.w2.dtype)
-        y = (
-            jnp.dot(y, jw.w2, preferred_element_type=jnp.float32)
-            + jw.b2.astype(jnp.float32)
-        )
-        syms_k = jnp.argmax(y, axis=-1).astype(jnp.int32)  # (K, N)
-
-        valid = tj < f_lens[None, :]
-        nonblank = syms_k != params.BLANK
-        emit_j = nonblank & valid
-        if K > 1:
-            # frame 0 evaluates under the carried per-frame symbol count
-            emit0 = emit_j[0] & (symbols_added != params.max_symbols_per_step)
-            emit_j = jnp.concatenate([emit0[None], emit_j[1:]], axis=0)
-        else:
-            emit_j = emit_j & (symbols_added != params.max_symbols_per_step)[None]
-        first = jnp.min(jnp.where(emit_j, offs[:, None], K), axis=0)  # (N,)
-
-        remaining = f_lens - time_idx  # valid frames left from time_idx
-        pend = (first < K) & ~finish  # emits inside the window
-        done = (first >= K) & (remaining <= K) & ~finish  # scanned out
-        cont = (first >= K) & (remaining > K) & ~finish
-
-        new_time = jnp.where(pend, time_idx + first, time_idx)
-        new_time = jnp.where(cont, time_idx + K, new_time)
-        new_time = jnp.where(done, eos_idx, new_time)
-        advanced = (pend & (first > 0)) | done | cont
-        new_symadd = jnp.where(advanced, 0, symbols_added)
-        sym = jnp.take_along_axis(
-            syms_k, jnp.minimum(first, K - 1)[None, :], axis=0
-        )[0]
-        return new_time, new_symadd, finish | done, sym, pend
-
-    def inner_cond(carry):
-        (time_idx, symbols_added, finish, sym, emit, it) = carry
-        return jnp.logical_and(~jnp.all(emit | finish), it < max_inner)
-
-    def outer_cond(carry):
-        (_, _, _, _, _, _, _, _, _, _, finish, it) = carry
-        return jnp.logical_and(~jnp.all(finish), it < max_outer)
-
-    def outer_body(carry):
-        (res, res_idx, pre_g, hg, cg, gproj, hgc, cgc,
-         time_idx, symbols_added, finish, it) = carry
-
-        def inner_body(icarry):
-            (time_idx, symbols_added, finish, sym, emit, iit) = icarry
-            time_idx, symbols_added, finish, sym, emit = window_scan(
-                gproj, time_idx, symbols_added, finish
-            )
-            return (time_idx, symbols_added, finish, sym, emit, iit + 1)
-
-        (time_idx, symbols_added, finish, sym, emit, _) = jax.lax.while_loop(
-            inner_cond, inner_body,
-            (time_idx, symbols_added, finish,
-             jnp.zeros((N,), jnp.int32), jnp.zeros((N,), bool), jnp.int32(0)),
-        )
-
-        # phase B — standard 4.1-4.3 for every holding lane at once, then
-        # refresh the caches from the committed state (unchanged lanes
-        # recompute identical values — deterministic, so stay consistent)
-        if use_pallas_b:
-            col = lambda v: v.astype(jnp.int32)[:, None]
-            lanes_out, hg, cg, hgc, cgc, gproj = dp.labelloop_refresh_pallas(
-                (col(sym), col(emit), col(pre_g), col(res_idx),
-                 col(symbols_added)),
-                hg, cg, hgc, cgc, pw, params, interpret=interpret,
-            )
-            pre_g2, res_idx2, symadd2, write_idx2 = lanes_out
-            res = res.at[batch_arange, write_idx2[:, 0]].set(
-                sym.astype(res.dtype), mode="drop"
-            )
-            pre_g, res_idx = pre_g2[:, 0], res_idx2[:, 0]
-            symbols_added = symadd2[:, 0]
-        else:
-            res_idx = res_idx + emit.astype(jnp.int32)
-            write_idx = jnp.where(emit, res_idx, params.max_res_len)  # OOB -> drop
-            res = res.at[batch_arange, write_idx].set(
-                sym.astype(res.dtype), mode="drop"
-            )
-            symbols_added = symbols_added + emit.astype(jnp.int32)
-            pre_g = jnp.where(emit, sym, pre_g)
-            sel = emit[None, :, None]
-            hg = jnp.where(sel, hgc, hg)
-            cg = jnp.where(sel, cgc, cg)
-            gproj, hgc, cgc = pred_caches(pre_g, hg, cg)
-        return (res, res_idx, pre_g, hg, cg, gproj, hgc, cgc,
-                time_idx, symbols_added, finish, it + 1)
-
-    if use_pallas_b:
-        hg0 = dp.pad_state(state.hg, P)
-        cg0 = dp.pad_state(state.cg, P)
-        zero = jnp.zeros((N, 1), jnp.int32)
-        # emit=0 pass: commits nothing, just computes the initial caches
-        _, _, _, hgc0, cgc0, gproj0 = dp.labelloop_refresh_pallas(
-            (zero, zero, state.pre_g.astype(jnp.int32)[:, None], zero, zero),
-            hg0, cg0, hg0, cg0, pw, params, interpret=interpret,
-        )
-    else:
-        hg0, cg0 = state.hg, state.cg
-        gproj0, hgc0, cgc0 = pred_caches(state.pre_g, state.hg, state.cg)
-    carry0 = (
-        state.res,
-        state.res_idx,
-        state.pre_g,
-        hg0,
-        cg0,
-        gproj0,
-        hgc0,
-        cgc0,
-        jnp.zeros((N,), jnp.int32),
-        jnp.zeros((N,), jnp.int32),
-        finish0,
-        jnp.int32(0),
-    )
-    res, res_idx, pre_g, hg, cg, *_ = jax.lax.while_loop(
-        outer_cond, outer_body, carry0
-    )
-    if use_pallas_b:
-        hg = dp.unpad_state(hg, P)
-        cg = dp.unpad_state(cg, P)
-    return DecodeState(
-        enc=state.enc, res=res, res_idx=res_idx, pre_g=pre_g, hg=hg, cg=cg
-    )
-
-
 def greedy_decode_chunk(
     weights: RNNTWeights,
     state: DecodeState,
@@ -444,8 +220,6 @@ def greedy_decode_chunk(
 
     f: {T2, N, 1024} encoder output, f_lens: {N} valid POST-stack frames.
     """
-    if _DECODE_IMPL == "labelloop":
-        return _greedy_decode_chunk_labelloop(weights, state, f, f_lens, params)
     if _pallas_decode_eligible(weights, f.shape[1]):
         return _greedy_decode_chunk_pallas(weights, state, f, f_lens, params)
     return _greedy_decode_chunk_xla(weights, state, f, f_lens, params)

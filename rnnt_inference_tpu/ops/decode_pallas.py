@@ -301,151 +301,3 @@ def decode_step_pallas(
         n_labels=params.num_labels,
         interpret=interpret,
     )
-
-
-def _labelloop_refresh_kernel(n_layers, sos, max_res_len):
-    """Label-looping phase B: commit the pending emissions, then ONE fused
-    prediction step refreshing the caches — the emit half of
-    ``_decode_step_kernel`` plus the prediction-projection output, minus the
-    joint/argmax/advance half (those live in the decoder's advance scan)."""
-    from rnnt_inference_tpu.ops.activations import gate_fns
-
-    sigmoid, tanh = gate_fns()
-
-    def kernel(
-        sym_ref,      # (BN, 1) int32 pending symbol (valid where emit)
-        emit_ref,     # (BN, 1) int32 (0/1)
-        pre_g_ref,    # (BN, 1) int32
-        residx_ref,   # (BN, 1) int32
-        symadd_ref,   # (BN, 1) int32
-        hg_ref,       # (L, BN, PG) wdtype   committed
-        cg_ref,       # (L, BN, PG) f32      committed
-        hgc_ref,      # (L, BN, PG) wdtype   candidates (last pred step)
-        cgc_ref,      # (L, BN, PG) f32
-        embed_ref,    # (LANE, PG) wdtype
-        wih_ref,      # (L, PG, 4PG) wdtype
-        whh_ref,      # (L, PG, 4PG) wdtype
-        b_ref,        # (L, 1, 4PG) f32
-        w1p_ref,      # (PG, J) wdtype
-        # outputs
-        pre_g_o, residx_o, symadd_o, write_o,
-        hg_o, cg_o, hgc_o, cgc_o, gproj_o,
-    ):
-        wdtype = embed_ref.dtype
-        BN = sym_ref.shape[0]
-
-        emit = emit_ref[:] != 0
-        # 4.1-4.3 emit for every pending lane (reference decoder.py:131-151)
-        res_idx = residx_ref[:] + emit.astype(jnp.int32)
-        write_idx = jnp.where(emit, res_idx, max_res_len)
-        symadd = symadd_ref[:] + emit.astype(jnp.int32)
-        pre_g = jnp.where(emit, sym_ref[:], pre_g_ref[:])
-
-        # embedding lookup as a one-hot matmul; SOS (-1) embeds to zeros
-        sos_mask = pre_g == sos
-        idx = jnp.where(sos_mask, 0, pre_g)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (BN, LANE), 1) == idx
-        ) & ~sos_mask
-        y = jnp.dot(
-            onehot.astype(wdtype), embed_ref[:],
-            preferred_element_type=jnp.float32,
-        ).astype(wdtype)
-
-        for l in range(n_layers):
-            # commit candidates for emitting lanes, then step from committed
-            h_l = jnp.where(emit, hgc_ref[l], hg_ref[l])
-            c_l = jnp.where(emit, cgc_ref[l], cg_ref[l])
-            hg_o[l] = h_l
-            cg_o[l] = c_l
-            xw = (
-                jnp.dot(y, wih_ref[l], preferred_element_type=jnp.float32)
-                + b_ref[l]
-            )
-            gates = xw + jnp.dot(
-                h_l.astype(wdtype), whh_ref[l],
-                preferred_element_type=jnp.float32,
-            )
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c_new = sigmoid(f) * c_l + sigmoid(i) * tanh(g)
-            h_new = sigmoid(o) * tanh(c_new)
-            y = h_new.astype(wdtype)
-            hgc_o[l] = y
-            cgc_o[l] = c_new
-
-        gproj_o[:] = jnp.dot(y, w1p_ref[:], preferred_element_type=jnp.float32)
-        pre_g_o[:] = pre_g
-        residx_o[:] = res_idx
-        symadd_o[:] = symadd
-        write_o[:] = write_idx
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit, static_argnames=("n_layers", "sos", "max_res_len", "interpret")
-)
-def _labelloop_refresh(
-    lanes: Tuple[jax.Array, ...],  # (sym, emit, pre_g, res_idx, symadd) (N,1) i32
-    hg, cg, hgc, cgc,              # (L, N, PG)
-    pw: dict,
-    n_layers: int,
-    sos: int,
-    max_res_len: int,
-    interpret: bool = False,
-):
-    N = lanes[0].shape[0]
-    L, _, PG = hg.shape
-    J = pw["w1_pred_p"].shape[1]
-    BN = N if N <= 256 else 256
-    assert N % BN == 0, f"batch {N} not a multiple of decode kernel tile {BN}"
-    grid = (N // BN,)
-    tile1 = pl.BlockSpec((BN, 1), lambda b: (b, 0), memory_space=pltpu.VMEM)
-    state = pl.BlockSpec((L, BN, PG), lambda b: (0, b, 0), memory_space=pltpu.VMEM)
-    const = lambda shape: pl.BlockSpec(
-        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        _labelloop_refresh_kernel(n_layers, sos, max_res_len),
-        grid=grid,
-        in_specs=[
-            tile1, tile1, tile1, tile1, tile1,
-            state, state, state, state,
-            const((LANE, PG)),
-            const((L, PG, 4 * PG)),
-            const((L, PG, 4 * PG)),
-            const((L, 1, 4 * PG)),
-            const((PG, J)),
-        ],
-        out_specs=[tile1] * 4
-        + [state, state, state, state]
-        + [pl.BlockSpec((BN, J), lambda b: (b, 0), memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.int32)] * 4
-        + [
-            jax.ShapeDtypeStruct((L, N, PG), hg.dtype),
-            jax.ShapeDtypeStruct((L, N, PG), jnp.float32),
-            jax.ShapeDtypeStruct((L, N, PG), hg.dtype),
-            jax.ShapeDtypeStruct((L, N, PG), jnp.float32),
-            jax.ShapeDtypeStruct((N, J), jnp.float32),
-        ],
-        interpret=interpret,
-    )(
-        *lanes, hg, cg, hgc, cgc,
-        pw["embed_p"], pw["w_ih_p"], pw["w_hh_p"], pw["b_p"], pw["w1_pred_p"],
-    )
-    return out[:4], out[4], out[5], out[6], out[7], out[8]
-
-
-def labelloop_refresh_pallas(lanes, hg, cg, hgc, cgc, pw, params, interpret=False):
-    """Fused label-looping phase B.  lanes = (sym, emit, pre_g, res_idx,
-    symbols_added) as (N, 1) int32.  Returns ((pre_g', res_idx', symadd',
-    write_idx), hg', cg', hgc', cgc', gproj) — states in the padded
-    (L, N, PG) layout, gproj (N, J) f32 WITHOUT b1 (the advance scan adds
-    b1 in the same order as the XLA body)."""
-    return _labelloop_refresh(
-        tuple(lanes), hg, cg, hgc, cgc, dict(pw),
-        n_layers=len(pw["b_p"]),
-        sos=params.SOS,
-        max_res_len=params.max_res_len,
-        interpret=interpret,
-    )

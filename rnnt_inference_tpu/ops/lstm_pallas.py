@@ -184,14 +184,7 @@ def lstm_layer_pallas(
 # emits f32 instead).
 
 
-def _quant_lstm_cat_kernel(taxis, emit_f32, halves):
-  """halves > 1 splits the batch tile into row halves whose MXU matmuls and
-  VPU gate chains are emitted interleaved in straight-line order, giving
-  Mosaic's scheduler independent MXU work to overlap with each half's gate
-  transcendentals (an earlier pl.when-based interleave attempt defeated the
-  scheduler; straight-line code is the variant worth measuring).  Row
-  halves are independent within a timestep, so results are bit-identical
-  for any split."""
+def _quant_lstm_cat_kernel(taxis, emit_f32):
   def kernel(x_ref, wih_ref, whh_ref, h0_ref, c0_ref, scales_ref,
              ys_ref, hT_ref, cT_ref,
              h_s, c_s):
@@ -216,29 +209,17 @@ def _quant_lstm_cat_kernel(taxis, emit_f32, halves):
     def quantize(v, s):
         return jnp.clip(jnp.round(v * s), -128.0, 127.0).astype(jnp.int8)
 
-    BN = h_s.shape[0]
-    nh = halves if halves > 1 and BN % halves == 0 else 1
-    rows = BN // nh
-    # phase 1: all halves' int8 GEMMs (independent MXU ops)
-    gates_i32 = [
-        i32dot(x_ref[0, k * rows : (k + 1) * rows], wih_ref[:])
-        + i32dot(h_s[k * rows : (k + 1) * rows], whh_ref[:])
-        for k in range(nh)
-    ]
-    # phase 2: per-half VPU gate math — half k+1's GEMM can overlap half
-    # k's transcendentals if the scheduler cooperates
-    for k in range(nh):
-        sl = slice(k * rows, (k + 1) * rows)
-        gates = gates_i32[k].astype(jnp.float32) * rb + bias
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c_new = jax.nn.sigmoid(f) * c_s[sl] + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        h_s[sl] = quantize(h_new, in_scale)
-        c_s[sl] = c_new
-        if emit_f32:
-            ys_ref[0, sl] = h_new
-        else:
-            ys_ref[0, sl] = quantize(h_new, out_scale)
+    gates_i32 = i32dot(x_ref[0], wih_ref[:]) + i32dot(h_s[:], whh_ref[:])
+    gates = gates_i32.astype(jnp.float32) * rb + bias
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c_s[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    h_s[:] = quantize(h_new, in_scale)
+    c_s[:] = c_new
+    if emit_f32:
+        ys_ref[0] = h_new
+    else:
+        ys_ref[0] = quantize(h_new, out_scale)
 
     @pl.when(t == pl.num_programs(taxis) - 1)
     def _():
@@ -292,9 +273,8 @@ def _quant_lstm_recurrence(
         tile_map = lambda b, t: (b, 0)
         taxis = 1
     y_dtype = jnp.float32 if emit_f32 else jnp.int8
-    halves = int(_os.environ.get("RNNT_INT8_HALVES", "1"))
     kernel = pl.pallas_call(
-        _quant_lstm_cat_kernel(taxis, emit_f32, halves),
+        _quant_lstm_cat_kernel(taxis, emit_f32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BN, IC), x_map, memory_space=pltpu.VMEM),
@@ -344,15 +324,6 @@ def quant_lstm_layer_pallas(
     scalars = scalars.at[1].set(layer.in_scale)
     scalars = scalars.at[2].set(layer.out_scale)
     scales = jnp.stack([scalars, layer.b.astype(jnp.float32)])
-    if _os.environ.get("RNNT_INT8_PIPE", "0") == "1":
-        N = x_i8.shape[1]
-        BN = min(int(_os.environ.get("RNNT_INT8_PIPE_BN", "128")), N)
-        nb = N // BN if N % BN == 0 else 0
-        if nb >= 2 and nb % 2 == 0:
-            return _quant_lstm_recurrence_pipelined(
-                x_i8, layer.w_ih, layer.w_hh, h_i8, c.astype(jnp.float32),
-                scales, emit_f32=emit_f32, interpret=interpret,
-            )
     return _quant_lstm_recurrence(
         x_i8, layer.w_ih, layer.w_hh, h_i8, c.astype(jnp.float32), scales,
         emit_f32=emit_f32, interpret=interpret,
@@ -360,305 +331,18 @@ def quant_lstm_layer_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Grid-level software-pipelined int8 variant (MXU/VPU overlap, attempt #3)
+# Measured-negative MXU/VPU-overlap variants (deleted)
 # ---------------------------------------------------------------------------
 #
-# The plain cat kernel is VPU-bound: each grid step serializes [int8 MXU
-# GEMMs] -> [gate transcendentals], leaving the MXU idle during the VPU
-# phase (~60% int8-MXU utilization at the encoder level).  Two round-2
-# attempts overlapped independent work WITHIN one grid step (pl.when halves;
-# straight-line halves) and both measured slower — Mosaic did not interleave
-# the chains.  This variant restructures the GRID instead: the batch-tile
-# axis becomes the fastest dimension (grid = (T, nb)), and each grid step
-# executes
-#     1. the int8 GEMM for the NEXT step's tile (MXU), into scratch
-#     2. the gate math for the CURRENT tile, consuming the GEMM the
-#        PREVIOUS step produced (VPU)
-# so the two halves of one step's body are fully independent (the GEMM
-# reads tile b+1's h state, the gates write tile b's) — a software pipeline
-# carried across grid iterations in double-buffered scratch, exactly the
-# structure a VLIW scheduler can overlap without reordering dependent ops.
-# Bit-identical to the plain kernel by construction: per (t, tile) the same
-# int8 GEMM + f32 gate math runs, only the issue order changes.
-#
-# Requires nb >= 2 (with nb == 1 the next GEMM depends on the current
-# gates' h update — no independent work exists) and nb even (keeps the
-# scratch parity = b % 2, period-2 across the t boundary).
-
-
-def _quant_lstm_pipelined_kernel(nb, T, emit_f32):
-  def kernel(xn_ref, wih_ref, whh_ref, h0_ref, c0_ref, mm0_ref, scales_ref,
-             ys_ref, hT_ref, cT_ref,
-             h_s, c_s, mm_a, mm_b):
-    t = pl.program_id(0)
-    b = pl.program_id(1)
-    BN = ys_ref.shape[1]
-
-    rb = scales_ref[0, 0]
-    in_scale = scales_ref[0, 1]
-    out_scale = scales_ref[0, 2]
-    bias = bias_ref_get(scales_ref)
-
-    i32dot = lambda a, bb: jax.lax.dot_general(
-        a, bb,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-
-    def quantize(v, s):
-        return jnp.clip(jnp.round(v * s), -128.0, 127.0).astype(jnp.int8)
-
-    @pl.when((t == 0) & (b == 0))
-    def _():
-        # whole-batch state init + the priming GEMM for tile (0, 0)
-        h_s[:] = h0_ref[:]
-        c_s[:] = c0_ref[:]
-        mm_a[:] = mm0_ref[:]
-
-    def body(consume, produce):
-        # MXU first: GEMM for the NEXT step's tile (rows (b+1)%nb at the
-        # h state those rows currently hold) — independent of this step's
-        # gate math, so the in-order VLIW stream can overlap them
-        nxt = (b + 1) % nb
-        produce[:] = i32dot(xn_ref[0], wih_ref[:]) + i32dot(
-            h_s[pl.ds(nxt * BN, BN)], whh_ref[:]
-        )
-        # VPU: gates for the CURRENT tile from the previous step's GEMM
-        sl = pl.ds(b * BN, BN)
-        gates = consume[:].astype(jnp.float32) * rb + bias
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c_new = jax.nn.sigmoid(f) * c_s[sl] + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        h_s[sl] = quantize(h_new, in_scale)
-        c_s[sl] = c_new
-        if emit_f32:
-            ys_ref[0] = h_new
-        else:
-            ys_ref[0] = quantize(h_new, out_scale)
-
-    # nb is even, so scratch parity is just b % 2 (period 2 across the t
-    # boundary: step (t, nb-1) produces into the buffer (t+1, 0) consumes)
-    @pl.when(b % 2 == 0)
-    def _():
-        body(mm_a, mm_b)
-
-    @pl.when(b % 2 == 1)
-    def _():
-        body(mm_b, mm_a)
-
-    @pl.when(t == T - 1)
-    def _():
-        sl = pl.ds(b * BN, BN)
-        hT_ref[:] = h_s[sl]
-        cT_ref[:] = c_s[sl]
-
-  return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("emit_f32", "interpret"))
-def _quant_lstm_recurrence_pipelined(
-    x: jax.Array,       # (T, N, IC) int8
-    w_ih: jax.Array,    # (IC, 4H) int8
-    w_hh: jax.Array,    # (H, 4H) int8
-    h0: jax.Array,      # (N, H) int8
-    c0: jax.Array,      # (N, H) f32
-    scales: jax.Array,  # (2, 4H) f32
-    emit_f32: bool,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    T, N, IC = x.shape
-    H, H4 = w_hh.shape
-    BN = int(_os.environ.get("RNNT_INT8_PIPE_BN", "128"))
-    BN = N if N <= BN else BN
-    while N % BN and BN > 8:
-        BN //= 2
-    nb = N // BN
-    assert nb >= 2 and nb % 2 == 0, (
-        f"pipelined int8 kernel needs an even tile count >= 2, got {nb} "
-        f"(N={N}, BN={BN})"
-    )
-    i32dot = lambda a, b: jax.lax.dot_general(
-        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    # priming GEMM for tile (t=0, b=0), computed once in XLA
-    mm0 = i32dot(x[0, :BN], w_ih) + i32dot(h0[:BN], w_hh)
-    y_dtype = jnp.float32 if emit_f32 else jnp.int8
-
-    xmap = lambda t, b: (jnp.minimum(t + (b == nb - 1), T - 1), (b + 1) % nb, 0)
-    kernel = pl.pallas_call(
-        _quant_lstm_pipelined_kernel(nb, T, emit_f32),
-        grid=(T, nb),
-        in_specs=[
-            pl.BlockSpec((1, BN, IC), xmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((IC, H4), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, H), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, H4), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, H4), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, BN, H), lambda t, b: (t, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BN, H), lambda t, b: (b, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, N, H), y_dtype),
-            jax.ShapeDtypeStruct((N, H), jnp.int8),
-            jax.ShapeDtypeStruct((N, H), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((N, H), jnp.int8),
-            pltpu.VMEM((N, H), jnp.float32),
-            pltpu.VMEM((BN, H4), jnp.int32),
-            pltpu.VMEM((BN, H4), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )
-    ys, hT, cT = kernel(x, w_ih, w_hh, h0, c0, mm0, scales)
-    return ys, hT, cT
-
-
-# ---------------------------------------------------------------------------
-# Interleaved two-half variant: MXU/VPU overlap
-# ---------------------------------------------------------------------------
-#
-# The recurrence is VPU-bound (5 transcendentals on (N, 4H) per step) while
-# the MXU sits idle ~70% of the time.  Splitting the batch into halves A/B
-# with B's pipeline lagging one step was meant to let Mosaic overlap the
-# independent chains per grid step.  MEASURED RESULT (v5e): 13.25 ms vs
-# 10.66 ms for the plain kernel at (T=500, N=128, H=1024) — Mosaic does NOT
-# overlap separate pl.when regions, and the mm_b scratch round-trip adds
-# cost.  Kept as a correct, documented negative result; the plain kernel
-# remains the default.
-
-
-def _lstm_interleaved_kernel(T):
-    def kernel(xwa_ref, xwb_ref, whh_ref, h0_ref, c0_ref,
-               ysa_ref, ysb_ref, hT_ref, cT_ref,
-               ha_s, ca_s, hb_s, cb_s, mmb_s):
-        t = pl.program_id(0)
-        Nh = ha_s.shape[0]
-
-        @pl.when(t == 0)
-        def _():
-            ha_s[:] = h0_ref[0, :Nh]
-            ca_s[:] = c0_ref[0, :Nh]
-            hb_s[:] = h0_ref[0, Nh:]
-            cb_s[:] = c0_ref[0, Nh:]
-
-        def gates(raw, c):
-            i, f, g, o = jnp.split(raw, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-            return h_new, c_new
-
-        # B's VPU work for step t-1 (mm_b computed last grid step)
-        @pl.when(t > 0)
-        def _():
-            h_new, c_new = gates(mmb_s[:], cb_s[:])
-            hb_s[:] = h_new.astype(hb_s.dtype)
-            cb_s[:] = c_new
-            ysb_ref[0] = h_new.astype(ysb_ref.dtype)
-
-        # A: full step t (MXU then VPU)
-        @pl.when(t < T)
-        def _():
-            mma = xwa_ref[0].astype(jnp.float32) + jnp.dot(
-                ha_s[:], whh_ref[:], preferred_element_type=jnp.float32
-            )
-            h_new, c_new = gates(mma, ca_s[:])
-            ha_s[:] = h_new.astype(ha_s.dtype)
-            ca_s[:] = c_new
-            ysa_ref[0] = h_new.astype(ysa_ref.dtype)
-
-        # B's MXU work for step t (consumed next grid step)
-        @pl.when(t < T)
-        def _():
-            mmb_s[:] = xwb_ref[0].astype(jnp.float32) + jnp.dot(
-                hb_s[:], whh_ref[:], preferred_element_type=jnp.float32
-            )
-
-        @pl.when(t == T)
-        def _():
-            hT_ref[0, :Nh] = ha_s[:]
-            hT_ref[0, Nh:] = hb_s[:]
-            cT_ref[0, :Nh] = ca_s[:]
-            cT_ref[0, Nh:] = cb_s[:]
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _lstm_recurrence_interleaved(
-    xw: jax.Array,  # (T, N, 4H), bias included
-    w_hh: jax.Array,
-    h0: jax.Array,
-    c0: jax.Array,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    T, N, H4 = xw.shape
-    H = w_hh.shape[0]
-    Nh = N // 2
-    dtype = w_hh.dtype
-    xwa, xwb = xw[:, :Nh], xw[:, Nh:]
-
-    last = lambda t: (jnp.minimum(t, T - 1), 0, 0)
-    lag = lambda t: (jnp.maximum(t - 1, 0), 0, 0)
-    ysa, ysb, hT, cT = pl.pallas_call(
-        _lstm_interleaved_kernel(T),
-        grid=(T + 1,),
-        in_specs=[
-            pl.BlockSpec((1, Nh, H4), last, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nh, H4), last, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, H), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, H), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, Nh, H), last, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nh, H), lag, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, H), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, H), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, Nh, H), dtype),
-            jax.ShapeDtypeStruct((T, Nh, H), dtype),
-            jax.ShapeDtypeStruct((1, N, H), dtype),
-            jax.ShapeDtypeStruct((1, N, H), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((Nh, H), dtype),
-            pltpu.VMEM((Nh, H), jnp.float32),
-            pltpu.VMEM((Nh, H), dtype),
-            pltpu.VMEM((Nh, H), jnp.float32),
-            pltpu.VMEM((Nh, H4), jnp.float32),
-        ],
-        interpret=interpret,
-    )(xwa, xwb, w_hh, h0[None], c0[None])
-    ys = jnp.concatenate([ysa, ysb], axis=1)
-    return ys, hT[0], cT[0]
-
-
-def lstm_layer_pallas_interleaved(
-    layer: LSTMLayerWeights,
-    x: jax.Array,
-    h0: jax.Array,
-    c0: jax.Array,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """lstm_layer with the MXU/VPU-overlapped kernel (even N required)."""
-    dtype = layer.w_ih.dtype
-    x = x.astype(dtype)
-    xw = (
-        jnp.dot(x, layer.w_ih, preferred_element_type=jnp.float32)
-        + layer.b.astype(jnp.float32)
-    ).astype(dtype)
-    ys, hT, cT = _lstm_recurrence_interleaved(
-        xw, layer.w_hh, h0.astype(dtype), c0.astype(jnp.float32), interpret=interpret
-    )
-    return ys, hT, cT
+# Three kernel structures tried to overlap the recurrence's int8/bf16 MXU
+# GEMMs with the VPU gate transcendentals and all measured SLOWER on v5e
+# (docs/PERFORMANCE.md "Microbenchmarks & negative results" and "Round-4
+# measurements"):
+#   1. pl.when two-half interleave        13.25 vs 10.66 ms (bf16, round 1)
+#   2. straight-line half-tile interleave 186.8/193.9/198.7 ms for 1/2/4
+#      halves (int8, round 3)
+#   3. cross-grid-step software pipeline  253.0 vs 207.0 ms (int8, round 4,
+#      bit-exact on device)
+# Mosaic serializes the MXU and VPU chains regardless of kernel structure;
+# the plain kernels above are the speed of light for this recurrence.  The
+# variants' code lives at git ee9f3f3..84b8218 if ever needed again.

@@ -10,8 +10,11 @@ utterances under every numeric mode the framework ships:
   fake_quant  fake-quantized weights (rounding isolated from kernels;
               reference run_mode fake_quant, main.py:90-96)
   quant       real int8 encoder execution
-  labelloop   quant weights + label-looping decode schedule
   packed      quant weights + the sequence-packed Offline path
+
+(A fifth mode, the label-looping decode schedule, was golden-pinned while
+it existed; it measured slower than the standard loop in every regime and
+was deleted in round 4 — docs/PERFORMANCE.md keeps the record.)
 
 The committed bundle (tests/golden/golden.npz) pins these token sequences
 byte-for-byte; tests/test_golden.py recomputes and compares, so ANY
@@ -56,7 +59,7 @@ def compute_golden() -> Dict[str, List[np.ndarray]]:
 
     from rnnt_inference_tpu.config import FeaturizerConfig
     from rnnt_inference_tpu.data.dataset import SampleStore
-    from rnnt_inference_tpu.models.decoder import greedy_decode, set_decode_impl
+    from rnnt_inference_tpu.models.decoder import greedy_decode
     from rnnt_inference_tpu.models.quant import (
         calibrate,
         fake_quantize_weights,
@@ -98,12 +101,6 @@ def compute_golden() -> Dict[str, List[np.ndarray]]:
     out["f32"] = decode_all(w32)
     out["fake_quant"] = decode_all(wfq)
     out["quant"] = decode_all(wq)
-
-    set_decode_impl("labelloop")
-    try:
-        out["labelloop"] = decode_all(wq)
-    finally:
-        set_decode_impl("xla")
 
     qsl = QuerySampleLibrary(store, cfg, wav_buckets_s=(1.0, 2.0))
     runner = PackedOfflineRunner(

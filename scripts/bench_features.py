@@ -47,7 +47,17 @@ def main():
     np.asarray(flens)
     dt = (time.time() - t0) / iters
     prec = os.environ.get("RNNT_FEATURE_PRECISION", "highest")
-    print(f"frontend N={N} secs={secs} precision={prec}: {dt*1e3:.1f} ms/batch")
+    print(
+        f"frontend N={N} secs={secs} precision={prec}: {dt*1e3:.1f} ms/batch",
+        file=sys.stderr,
+    )
+
+    record = {
+        "metric": "frontend_ms_per_batch",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms",
+        "N": N, "secs": secs, "precision": prec, "iters": iters,
+    }
 
     if prec == "high":
         # drift + token gate vs the highest-precision features
@@ -59,8 +69,11 @@ def main():
         drift = np.abs(f_hi[:, :64] - f_ref)
         print(
             f"feature drift vs highest: p50={np.percentile(drift,50):.2e} "
-            f"p99={np.percentile(drift,99):.2e} max={drift.max():.2e}"
+            f"p99={np.percentile(drift,99):.2e} max={drift.max():.2e}",
+            file=sys.stderr,
         )
+        record["drift_p99"] = float(np.percentile(drift, 99))
+        record["drift_max"] = float(drift.max())
 
         from rnnt_inference_tpu.models.decoder import greedy_decode
         from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
@@ -75,7 +88,15 @@ def main():
         r_hi = np.asarray(dec(jnp.asarray(f_hi[:, :64]), flens[:64])[0])
         r_ref = np.asarray(dec(jnp.asarray(f_ref), flens[:64])[0])
         same = np.array_equal(r_hi, r_ref)
-        print(f"greedy tokens identical across precision: {same}")
+        print(
+            f"greedy tokens identical across precision: {same}",
+            file=sys.stderr,
+        )
+        record["tokens_identical"] = bool(same)
+
+    import json
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -49,10 +49,8 @@ def log(msg):
 
 
 def jobs(blank_delta):
-    """The round-4 measurement program.  Ordered by information value:
-    headline first (refreshes the round-2 number + calibrates the shared
-    blank delta), then the cheap kernel A/Bs that answer VERDICT items 4
-    (int8 pipe) and 1 (labelloop), then the secondary A/Bs."""
+    """The standing measurement program: headline first (calibrates the
+    shared blank delta for the A/B legs), then the A/Bs."""
     bench = [PY, os.path.join(REPO, "bench.py")]
     delta_env = {"BENCH_BLANK_DELTA": blank_delta} if blank_delta else {}
 
@@ -61,48 +59,31 @@ def jobs(blank_delta):
         e.update(kw)
         return e
 
+    # The round-4 program (16 jobs: headline, int8 pipe A/B, labelloop
+    # K-ladder + cap-30 + Server, packed chunk ladder, frontend precision,
+    # quant Server probe) ran to completion on 2026-08-19; records live in
+    # measurements/*.json and the verdicts in docs/PERFORMANCE.md.  The
+    # measured-negative paths (labelloop decode, grid-pipelined int8
+    # kernel) were then DELETED, so their legs are gone from this list —
+    # re-measuring them would require reviving the code at git history
+    # ee9f3f3..HEAD.
     return [
         # name, argv, env overrides, timeout_s
         ("headline", bench, {}, 7200),
-        # int8 encoder grid-pipeline attempt 3 (VERDICT item 4): plain vs
-        # pipelined, same shapes as the 123.2 ms PERFORMANCE.md row
         ("int8_plain", [PY, os.path.join(REPO, "scripts/bench_int8_bn.py"),
-                        "1024", "500"], {"RNNT_INT8_PIPE": "0"}, 3600),
-        ("int8_pipe", [PY, os.path.join(REPO, "scripts/bench_int8_bn.py"),
-                       "1024", "500"], {"RNNT_INT8_PIPE": "1"}, 3600),
-        # label-looping decode ladder (VERDICT items 1-2)
-        ("labelloop_k1", bench,
-         bench_env(RNNT_DECODE_IMPL="labelloop", RNNT_LABELLOOP_K="1"), 5400),
-        ("labelloop_k4", bench,
-         bench_env(RNNT_DECODE_IMPL="labelloop", RNNT_LABELLOOP_K="4"), 5400),
-        ("labelloop_k8", bench,
-         bench_env(RNNT_DECODE_IMPL="labelloop", RNNT_LABELLOOP_K="8"), 5400),
-        ("labelloop_k4_pallas", bench,
-         bench_env(RNNT_DECODE_IMPL="labelloop", RNNT_LABELLOOP_K="4",
-                   RNNT_LABELLOOP_PALLAS="1"), 5400),
-        # sequence-packed Offline (VERDICT item 5): no bucket pad/dead rows
+                        "1024", "500"], {}, 3600),
+        # sequence-packed Offline (VERDICT item 5)
         ("packed", bench, bench_env(BENCH_PACKED="1"), 7200),
-        ("packed_chunk8", bench,
-         bench_env(BENCH_PACKED="1", BENCH_PACK_CHUNK="8"), 5400),
-        ("packed_chunk32", bench,
-         bench_env(BENCH_PACKED="1", BENCH_PACK_CHUNK="32"), 5400),
-        # decode schedule under the bursty cap-30 regime
+        # burst-regime protocol row
         ("symcap30", bench, bench_env(BENCH_SYM_CAP="30"), 5400),
-        ("symcap30_labelloop", bench,
-         bench_env(BENCH_SYM_CAP="30", RNNT_DECODE_IMPL="labelloop",
-                   RNNT_LABELLOOP_K="4"), 5400),
-        # frontend precision A/B (round-3 pending)
+        # frontend precision A/B
         ("features_default", [PY, os.path.join(REPO, "scripts/bench_features.py"),
                               "1024", "15"], {}, 3600),
         ("features_high", [PY, os.path.join(REPO, "scripts/bench_features.py"),
                            "1024", "15"], {"RNNT_FEATURE_PRECISION": "high"}, 3600),
-        # Server-regime probes (VERDICT item 7): quant serving + labelloop
-        # in the sparse-emission regime where the cost model says it wins
+        # quant Server probe
         ("server_quant", [PY, os.path.join(REPO, "scripts/server_probe.py"),
                           "10,20,40,80", "45"], {"PROBE_DTYPE": "quant"}, 5400),
-        ("server_quant_labelloop",
-         [PY, os.path.join(REPO, "scripts/server_probe.py"), "10,20,40,80", "45"],
-         {"PROBE_DTYPE": "quant", "RNNT_DECODE_IMPL": "labelloop"}, 5400),
     ]
 
 

@@ -60,7 +60,7 @@ if [ "$STAGE" -le -1 ]; then
   ./scripts/prepare_env.sh
   if [ "$QUICK" = "true" ]; then
     # golden regression gate: fixed-seed tokens across every numeric mode
-    # (f32/fake_quant/quant/labelloop/packed) must match the committed
+    # (f32/fake_quant/quant/packed) must match the committed
     # bundle byte-for-byte — the accuracy contract when real WER is
     # unreachable (tests/test_golden.py)
     echo '==> Stage -1b: golden-bundle regression gate (QUICK)'

@@ -22,7 +22,7 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="${JAX_PERSISTENT_CACHE_MIN_CO
 #   pallas LSTM  = int8 fused-cat / bf16 VMEM-resident recurrence kernels
 #   pallas decode = fused prediction+joint+argmax+update step kernel
 export RNNT_LSTM_IMPL="${RNNT_LSTM_IMPL:-pallas}"
-export RNNT_DECODE_IMPL="${RNNT_DECODE_IMPL:-pallas}"
+export RNNT_DECODE_IMPL="${RNNT_DECODE_IMPL:-auto}"
 
 # int8 fused-cat kernel batch tile: 256 beats 128 by ~6% at batch 1024
 # (needs the 64 MB scoped-vmem compiler param the kernel already sets).

@@ -81,39 +81,3 @@ def test_pallas_decode_quant_weights():
     np.testing.assert_array_equal(res_p, res_x)
 
 
-@pytest.mark.parametrize("cap", [1, 30])
-def test_labelloop_pallas_refresh_matches(cap, monkeypatch):
-    """Label-looping with the fused Pallas phase B (emit + prediction
-    refresh, RNNT_LABELLOOP_PALLAS=1) must be token-identical to the plain
-    XLA label-looping path and to the standard XLA body."""
-    import dataclasses
-
-    from rnnt_inference_tpu.models.decoder import set_labelloop_k
-
-    params = dataclasses.replace(SMALL, max_symbols_per_step=cap)
-    T, N = 20, 8  # N=8: eligible tile for the refresh kernel
-    w = init_weights(jax.random.PRNGKey(7), params)
-    x = jax.random.normal(jax.random.PRNGKey(8), (T, N, params.trans_input_size))
-    lens_np = np.random.RandomState(9).randint(1, T + 1, size=N)
-    lens_np[0], lens_np[1] = T, 0
-    x_lens = jnp.asarray(lens_np, jnp.int32)
-
-    res_x, len_x = greedy_decode(w, x, x_lens, params=params)
-    try:
-        set_decode_impl("labelloop")
-        set_labelloop_k(3)
-        jax.clear_caches()
-        res_ll, len_ll = greedy_decode(w, x, x_lens, params=params)
-        res_ll, len_ll = np.asarray(res_ll), np.asarray(len_ll)
-        monkeypatch.setenv("RNNT_LABELLOOP_PALLAS", "1")
-        jax.clear_caches()
-        res_pb, len_pb = greedy_decode(w, x, x_lens, params=params)
-        res_pb, len_pb = np.asarray(res_pb), np.asarray(len_pb)
-    finally:
-        set_decode_impl("xla")
-        set_labelloop_k(4)
-        jax.clear_caches()
-    np.testing.assert_array_equal(len_ll, np.asarray(len_x))
-    np.testing.assert_array_equal(res_ll, np.asarray(res_x))
-    np.testing.assert_array_equal(len_pb, len_ll)
-    np.testing.assert_array_equal(res_pb, res_ll)

@@ -134,65 +134,3 @@ def test_symbol_cap_matches_reference(cap):
     np.testing.assert_array_equal(np.asarray(res), res_ref)
 
 
-@pytest.mark.parametrize("cap,k", [(1, 1), (1, 3), (2, 4), (30, 1), (30, 5)])
-def test_labelloop_matches_xla_and_reference(cap, k):
-    """Label-looping decode (RNNT_DECODE_IMPL=labelloop) reorders the
-    schedule — prediction steps run once per emission round instead of every
-    iteration, and the advance scan looks K frames ahead — but per-lane
-    decisions are unchanged: tokens must equal both the standard XLA
-    while_loop impl and the eager torch oracle exactly."""
-    import dataclasses
-
-    from rnnt_inference_tpu.models.decoder import set_decode_impl, set_labelloop_k
-
-    params = dataclasses.replace(SMALL, max_symbols_per_step=cap)
-    T, N = 14, 5
-    w = init_weights(jax.random.PRNGKey(43), params)
-    x, x_lens = _make_inputs(T, N, params, seed=11)
-
-    try:
-        set_decode_impl("labelloop")
-        set_labelloop_k(k)
-        jax.clear_caches()
-        res_ll, lens_ll = greedy_decode(w, x, x_lens, params=params)
-        res_ll, lens_ll = np.asarray(res_ll), np.asarray(lens_ll)
-    finally:
-        set_decode_impl("xla")
-        set_labelloop_k(4)
-        jax.clear_caches()
-    res, lens = greedy_decode(w, x, x_lens, params=params)
-    np.testing.assert_array_equal(lens_ll, np.asarray(lens))
-    np.testing.assert_array_equal(res_ll, np.asarray(res))
-    ref = RefRNNT(w, params)
-    res_ref, lens_ref = ref_greedy_decode(ref, np.asarray(x), np.asarray(x_lens))
-    np.testing.assert_array_equal(lens_ll, lens_ref)
-    np.testing.assert_array_equal(res_ll, res_ref)
-
-
-def test_labelloop_split_and_zero_lanes():
-    """labelloop under split_len streaming (caches rebuilt per chunk from the
-    carried state) and with zero-length lanes: equal to the standard impl."""
-    from rnnt_inference_tpu.models.decoder import set_decode_impl
-
-    params = SMALL
-    T, N = 15, 4
-    w = init_weights(jax.random.PRNGKey(44), params)
-    x = jax.random.normal(jax.random.PRNGKey(6), (T, N, params.trans_input_size))
-    x_lens = jnp.array([T, 0, 7, 12], jnp.int32)
-
-    res, lens = greedy_decode(w, x, x_lens, params=params)
-    try:
-        set_decode_impl("labelloop")
-        jax.clear_caches()
-        res_ll, lens_ll = greedy_decode(w, x, x_lens, params=params)
-        res_sp, lens_sp = greedy_decode(w, x, x_lens, params=params, split_len=4)
-        res_ll, lens_ll = np.asarray(res_ll), np.asarray(lens_ll)
-        res_sp, lens_sp = np.asarray(res_sp), np.asarray(lens_sp)
-    finally:
-        set_decode_impl("xla")
-        jax.clear_caches()
-    np.testing.assert_array_equal(lens_ll, np.asarray(lens))
-    np.testing.assert_array_equal(res_ll, np.asarray(res))
-    np.testing.assert_array_equal(lens_sp, np.asarray(lens))
-    np.testing.assert_array_equal(res_sp, np.asarray(res))
-    assert int(lens_ll[1]) == 0 and np.all(res_ll[1] == -1)

@@ -3,7 +3,7 @@
 With real dev-clean WER unreachable in this image, the committed golden
 bundle is the accuracy contract: tokens of a fixed-seed small model over
 fixed-seed synthetic utterances, under every numeric mode (f32, fake_quant,
-quant, labelloop, packed), must match tests/golden/golden.npz byte for
+quant, packed), must match tests/golden/golden.npz byte for
 byte.  A mismatch means quantization scale algebra, decode mask algebra,
 packing, or the featurizer changed semantics — fail loudly and either fix
 the regression or intentionally regenerate via scripts/make_golden.py.
@@ -31,7 +31,7 @@ def test_bundle_exists():
 
 
 @pytest.mark.parametrize(
-    "mode", ["f32", "fake_quant", "quant", "labelloop", "packed"]
+    "mode", ["f32", "fake_quant", "quant", "packed"]
 )
 def test_tokens_match_golden(recomputed, mode):
     want = load_golden(GOLDEN)[mode]

@@ -60,22 +60,6 @@ def test_stack_impl_switch():
     np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
 
 
-def test_interleaved_matches_scan():
-    from rnnt_inference_tpu.ops.lstm_pallas import lstm_layer_pallas_interleaved
-
-    T, N, IC, H = 7, 8, 128, 128
-    layer = _init_lstm_layer(jax.random.PRNGKey(8), IC, H, jnp.float32)
-    x = jax.random.normal(jax.random.PRNGKey(9), (T, N, IC))
-    h0 = jax.random.normal(jax.random.PRNGKey(10), (N, H))
-    c0 = jax.random.normal(jax.random.PRNGKey(11), (N, H))
-
-    y_ref, h_ref, c_ref = jax.jit(lstm_layer)(layer, x, h0, c0)
-    y_il, h_il, c_il = lstm_layer_pallas_interleaved(layer, x, h0, c0, interpret=True)
-    np.testing.assert_allclose(np.asarray(y_il), np.asarray(y_ref), rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(h_il), np.asarray(h_ref), rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(c_il), np.asarray(c_ref), rtol=2e-5, atol=2e-5)
-
-
 def test_pallas_batch_tiled():
     """N > 128 path: grid tiles the batch; results must match the scan."""
     T, N, H = 5, 384, 128
@@ -209,112 +193,3 @@ def test_quant_stack_pallas_dispatch_matches():
         set_lstm_impl("xla")
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_x))
-
-
-def test_quant_pallas_pipelined_matches_plain():
-    """Grid-pipelined int8 variant (RNNT_INT8_PIPE=1: batch-tile-fastest
-    grid, GEMM-for-next-step / gates-for-current software pipeline) must be
-    bit-identical to the plain cat kernel — only the issue order changes."""
-    import os
-
-    import jax.numpy as jnp
-    from rnnt_inference_tpu.config import RNNTParams
-    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
-    from rnnt_inference_tpu.models.weights import init_weights
-    from rnnt_inference_tpu.ops.lstm_int8 import quantize
-    from rnnt_inference_tpu.ops.lstm_pallas import (
-        _quant_lstm_recurrence_pipelined,
-        quant_lstm_layer_pallas,
-    )
-
-    params = RNNTParams(
-        trans_input_size=240,
-        trans_hidden_size=128,
-        pred_hidden_size=32,
-        joint_hidden_size=32,
-        max_res_len=64,
-    )
-    w = init_weights(jax.random.PRNGKey(0), params)
-    T, N = 5, 16  # nb = 2 tiles of 8 under RNNT_INT8_PIPE_BN=8
-    x = jax.random.normal(jax.random.PRNGKey(1), (T, N, params.trans_input_size))
-    lens = jnp.full((N,), T, jnp.int32)
-    calib = calibrate(w, [(x, lens)], params)
-    qw = quantize_weights(w, calib, params, compute_dtype=jnp.float32)
-
-    os.environ["RNNT_INT8_PIPE_BN"] = "8"
-    try:
-        for li, emit_f32 in ((0, False), (1, True)):
-            layer = qw.pre_rnn[li]
-            x_i8 = quantize(x[:, :, : layer.w_ih.shape[0]], layer.in_scale)
-            h0 = jax.random.randint(
-                jax.random.PRNGKey(2 + li), (N, 128), -128, 128
-            ).astype(jnp.int8)
-            c0 = (
-                jax.random.normal(jax.random.PRNGKey(4 + li), (N, 128)) * 0.5
-            ).astype(jnp.float32)
-            y_ref, h_ref, c_ref = quant_lstm_layer_pallas(
-                layer, x_i8, h0, c0, emit_f32, interpret=True
-            )
-            H4 = layer.w_hh.shape[1]
-            scalars = jnp.zeros((H4,), jnp.float32)
-            scalars = scalars.at[0].set(layer.rb_scale)
-            scalars = scalars.at[1].set(layer.in_scale)
-            scalars = scalars.at[2].set(layer.out_scale)
-            scales = jnp.stack([scalars, layer.b.astype(jnp.float32)])
-            y_p, h_p, c_p = _quant_lstm_recurrence_pipelined(
-                x_i8, layer.w_ih, layer.w_hh, h0, c0.astype(jnp.float32),
-                scales, emit_f32=emit_f32, interpret=True,
-            )
-            np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_ref))
-            np.testing.assert_array_equal(
-                np.asarray(c_p), np.asarray(c_ref)
-            ) if not emit_f32 else np.testing.assert_allclose(
-                np.asarray(c_p), np.asarray(c_ref), rtol=0, atol=0
-            )
-            np.testing.assert_array_equal(np.asarray(y_p), np.asarray(y_ref))
-    finally:
-        del os.environ["RNNT_INT8_PIPE_BN"]
-
-
-def test_quant_pallas_pipelined_dispatch_nb4():
-    """RNNT_INT8_PIPE=1 selects the pipelined kernel through
-    quant_lstm_layer_pallas, and the 4-tile pipeline (two full scratch
-    parity periods per timestep) stays bit-identical to the plain kernel."""
-    import os
-
-    import jax.numpy as jnp
-    from rnnt_inference_tpu.config import RNNTParams
-    from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
-    from rnnt_inference_tpu.models.weights import init_weights
-    from rnnt_inference_tpu.ops.lstm_int8 import quantize
-    from rnnt_inference_tpu.ops.lstm_pallas import quant_lstm_layer_pallas
-
-    params = RNNTParams(
-        trans_input_size=240,
-        trans_hidden_size=128,
-        pred_hidden_size=32,
-        joint_hidden_size=32,
-        max_res_len=64,
-    )
-    w = init_weights(jax.random.PRNGKey(0), params)
-    T, N = 7, 32  # nb = 4 tiles of 8
-    x = jax.random.normal(jax.random.PRNGKey(1), (T, N, params.trans_input_size))
-    lens = jnp.full((N,), T, jnp.int32)
-    qw = quantize_weights(w, calibrate(w, [(x, lens)], params), params, compute_dtype=jnp.float32)
-
-    layer = qw.pre_rnn[0]
-    x_i8 = quantize(x, layer.in_scale)
-    h0 = jax.random.randint(jax.random.PRNGKey(2), (N, 128), -128, 128).astype(jnp.int8)
-    c0 = (jax.random.normal(jax.random.PRNGKey(3), (N, 128)) * 0.5).astype(jnp.float32)
-
-    y_ref, h_ref, c_ref = quant_lstm_layer_pallas(layer, x_i8, h0, c0, False, interpret=True)
-    os.environ["RNNT_INT8_PIPE"] = "1"
-    os.environ["RNNT_INT8_PIPE_BN"] = "8"
-    try:
-        y_p, h_p, c_p = quant_lstm_layer_pallas(layer, x_i8, h0, c0, False, interpret=True)
-    finally:
-        del os.environ["RNNT_INT8_PIPE"]
-        del os.environ["RNNT_INT8_PIPE_BN"]
-    np.testing.assert_array_equal(np.asarray(y_p), np.asarray(y_ref))
-    np.testing.assert_array_equal(np.asarray(h_p), np.asarray(h_ref))
-    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_ref))

@@ -226,32 +226,3 @@ def test_server_matches_offline_tokens_quant():
     for i in range(len(store)):
         hyp = seq_to_sen(results[i], len(results[i]))
         assert hyp == offline.hypotheses[i], f"sample {i} mismatch"
-
-
-def test_server_matches_offline_tokens_labelloop():
-    """The label-looping decode impl must hold streaming == non-streaming
-    token equality through the Server slot pipeline too (per-chunk cache
-    rebuild from the carried slot state)."""
-    from rnnt_inference_tpu.models.decoder import set_decode_impl
-
-    store = SampleStore.synthetic(
-        n=6, seed=5, min_seconds=0.3, max_seconds=1.0, mean_seconds=0.6
-    )
-    w = init_weights(jax.random.PRNGKey(0), SMALL)
-    offline = run_offline(w, store, SMALL, CFG, batch_size=4, warmup=False)
-    try:
-        set_decode_impl("labelloop")
-        jax.clear_caches()
-        runner = ServerRunner(
-            w, SMALL, CFG, slots=4, split_len=4, max_frames=64, insert_batch=2
-        )
-        metrics, results = run_server(
-            runner, store, target_qps=1000.0, realtime=False, max_wall_s=120.0
-        )
-    finally:
-        set_decode_impl("xla")
-        jax.clear_caches()
-    assert metrics.completed == len(store)
-    for i in range(len(store)):
-        hyp = seq_to_sen(results[i], len(results[i]))
-        assert hyp == offline.hypotheses[i], f"sample {i} mismatch"
