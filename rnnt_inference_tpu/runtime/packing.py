@@ -11,25 +11,30 @@ rows at all.
 
 Three phases per rep, all device-side:
 
-  A. featurize + scatter: each staged wav-bucket batch is featurized (the
-     existing frontend, unchanged shapes) and its frames scattered into the
-     packed (T_pack, n_lanes, 240) buffer at chunk-aligned offsets — one
-     fused program per bucket shape.
+  A. featurize into a FLAT buffer + one row-gather: each staged wav-bucket
+     batch is featurized (the existing frontend, unchanged shapes) and its
+     output DMA'd contiguously into a flat (sum T_b*g, 240) buffer via
+     dynamic_update_slice; the packed (T_pack, n_lanes, 240) buffer is then
+     built by ONE host-precomputed row-gather.  (The original formulation
+     scattered each batch into the packed buffer directly —
+     ``packed.at[dest_t, lane].set`` — and measured ~0.7 s/rep: XLA
+     serializes large scatters on TPU.  Gathers are DMA-speed.)
   B. chunked encoder scan: lax.scan over chunk_frames-sized slices with the
      per-lane encoder state masked to zero at utterance-start chunks (the
      Server slot pipeline's reset algebra, models/decoder.py
      masked_reset_decode) — fixed cost per chunk, no data-dependent
      iteration counts, so packing adds NO lock-step skew here.
-  C. one whole-timeline greedy decode: the encoder outputs are COMPACTED
+  C. compaction + chunked greedy decode: the encoder outputs are COMPACTED
      (chunk-tail pad frames gathered away) into per-lane contiguous
-     timelines and decoded by a single while_loop whose only packing
-     awareness is `starts`: advancing into an utterance-start frame resets
-     the lane's prediction state exactly as a standalone decode would
-     begin, and drops a PACK_BOUNDARY marker into the token buffer so the
-     host can split per-utterance tokens afterwards (models/decoder.py
-     _greedy_decode_chunk_xla).  Balanced lanes (longest-first bin-packing)
-     keep the loop's max-lane skew to ~1-2% vs the per-bucket max the
-     batched path pays.
+     timelines and decoded by a decode_chunk-frame lax.scan of the
+     standard symbol loop whose only packing awareness is `starts`:
+     advancing into an utterance-start frame resets the lane's prediction
+     state exactly as a standalone decode would begin, and drops a
+     PACK_BOUNDARY marker into the token buffer so the host can split
+     per-utterance tokens afterwards (models/decoder.py
+     _greedy_decode_chunk_xla; boundary-aligned starts are reset between
+     chunks).  Balanced lanes (longest-first bin-packing) keep the loop's
+     max-lane skew to ~1-2% vs the per-bucket max the batched path pays.
 
 Why this is exact: the split_len streaming scan is token-identical to the
 non-streaming decode by test, the masked reset gives each utterance the
@@ -47,6 +52,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import heapq
+import os as _os
 import time
 from typing import List, Optional, Tuple
 
@@ -59,6 +65,7 @@ from rnnt_inference_tpu.config import FeaturizerConfig, RNNTParams
 from rnnt_inference_tpu.models import rnnt as model
 from rnnt_inference_tpu.models.decoder import (
     PACK_BOUNDARY,
+    DecodeState,
     _greedy_decode_chunk_xla,
     init_decode_state,
 )
@@ -144,6 +151,7 @@ class PackedOfflineRunner:
         n_lanes: int = 1024,
         chunk_frames: int = 16,
         batch_size: int = 1024,
+        decode_chunk: int = 128,
     ):
         assert chunk_frames % params.stack_time_factor == 0, (
             f"chunk_frames {chunk_frames} must be a multiple of the "
@@ -155,9 +163,17 @@ class PackedOfflineRunner:
         self.n_lanes = n_lanes
         self.chunk_frames = chunk_frames
         self.batch_size = batch_size
+        # the packed timeline is ~4x a bucket-max utterance; decoding it as
+        # ONE monolithic while_loop measured far off the bucketed decode's
+        # per-iteration cost (docs/PERFORMANCE.md round-4 packed breakdown),
+        # so the decode scans the compacted timeline in decode_chunk-frame
+        # pieces — the exact shape the bucketed path proves fast — carrying
+        # DecodeState across chunks (the split_len streaming property,
+        # token-exact by test)
+        self.decode_chunk = decode_chunk
         self.plan: Optional[PackPlan] = None
-        self._staged = None  # list of (wav_i16, lens, dest_t, dest_lane)
-        self._packed = None  # (T_pack, n_lanes, C_feat) f32 device buffer
+        self._staged = None  # list of (wav_i16, lens, flat base offset)
+        self._flat = None  # (sum T_b*g, C_feat) f32 flat feature buffer
 
         ch = cfg.out_feat
         self._enc_dtype = weights.pre_rnn[0].w_ih.dtype
@@ -168,20 +184,48 @@ class PackedOfflineRunner:
         self._f_dtype = weights.joint.w1_trans.dtype
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def _stage_batch(packed, wav_i16, wav_lens, dest_t, dest_lane):
+        def _stage_batch(flat, wav_i16, wav_lens, base):
+            """Featurize one staged wav-bucket batch and DMA its (T_b*g, ch)
+            output into the flat feature buffer at a contiguous offset.
+
+            The packed buffer is then built by ONE row-gather from `flat`
+            (inside _encode_decode) instead of per-batch scatters: the
+            original ``packed.at[dest_t, lane].set`` formulation measured
+            ~0.7 s/rep — XLA serializes large scatters on TPU — where the
+            dynamic_update_slice + gather formulation is plain DMA traffic
+            (docs/PERFORMANCE.md round-4 packed bisection)."""
             wav = wav_i16.astype(jnp.float32) * (1.0 / 32768.0)
             feats, _ = log_mel_features(wav, wav_lens, cfg)  # (T_b, g, ch)
-            lane_b = jnp.broadcast_to(dest_lane[None, :], dest_t.shape)
-            # invalid frames/dead rows carry OOB indices -> dropped
-            return packed.at[dest_t, lane_b].set(feats, mode="drop")
+            rows = feats.reshape(-1, feats.shape[-1])  # row = t*g + r
+            return jax.lax.dynamic_update_slice(flat, rows, (base, 0))
 
         self._stage_batch = _stage_batch
 
-        def _encode_decode(weights, packed, chunk_lens, resets, src_idx,
-                           starts, lane_f_lens, params_pack):
+        # RNNT_PACK_ABLATE: timing-bisection knob for the packed pipeline —
+        # phase walls through the relay are only trustworthy when measured
+        # by the bench harness itself (median over >=13 reps), so phases
+        # are ablated INSIDE the jitted program instead of timed separately.
+        #   "noenc"    — scatter only (phase A); encoder/compact/decode skipped
+        #   "nodecode" — phases A+B+C; the decode scan skipped
+        # Tokens are garbage under ablation; NEVER set outside bisection runs.
+        self._ablate = _os.environ.get("RNNT_PACK_ABLATE", "")
+
+        def _encode_decode(weights, flat, pack_src, chunk_lens, resets,
+                           src_idx, starts, lane_f_lens, params_pack):
             C = chunk_lens.shape[0]
             P = self.chunk_frames
             N = self.n_lanes
+            # build the packed (T_pack, n_lanes, ch) buffer by row-gather
+            # (pad positions carry clamped indices; their values are masked
+            # by chunk_lens downstream, same as the scatter left them stale)
+            packed = jnp.take(flat, pack_src, axis=0)
+            if self._ablate == "noenc":
+                res0 = jnp.full((N, params_pack.max_res_len), -1, jnp.int8)
+                # depend on one packed element so the gather isn't DCE'd
+                idx0 = jnp.full((N,), -1, jnp.int32) + (
+                    packed[0, 0, 0] * 0
+                ).astype(jnp.int32)
+                return res0, idx0
             xc = packed.reshape(C, P, N, ch)
             enc0 = model.init_encoder_state(N, self.params, self._enc_dtype)
 
@@ -205,12 +249,65 @@ class PackedOfflineRunner:
                                   N, f_all.shape[-1])
             f_packed = jnp.take_along_axis(f_all, src_idx[:, :, None], axis=0)
 
+            if self._ablate == "nodecode":
+                res0 = jnp.full((N, params_pack.max_res_len), -1, jnp.int8)
+                idx0 = jnp.full((N,), -1, jnp.int32) + (
+                    f_packed[0, 0, 0] * 0
+                ).astype(jnp.int32)
+                return res0, idx0
+
             st0 = init_decode_state(
                 N, params_pack, self._enc_dtype, self._pred_dtype
             )
-            st = _greedy_decode_chunk_xla(
-                weights, st0, f_packed, lane_f_lens, params_pack,
-                starts=starts,
+
+            # chunked decode scan (see decode_chunk in __init__): pad the
+            # compacted timeline to a multiple of the decode chunk; zero-len
+            # tail chunks are per-lane no-ops (split_len property)
+            T2c = f_packed.shape[0]
+            DC = min(self.decode_chunk, T2c)
+            n_dc = -(-T2c // DC)
+            pad = n_dc * DC - T2c
+            f_ch = jnp.pad(f_packed, ((0, pad), (0, 0), (0, 0))).reshape(
+                n_dc, DC, N, f_packed.shape[-1]
+            )
+            st_ch = jnp.pad(starts, ((0, pad), (0, 0))).reshape(n_dc, DC, N)
+            offs = jnp.arange(n_dc, dtype=jnp.int32) * DC
+            lens_ch = jnp.clip(
+                lane_f_lens[None, :] - offs[:, None], 0, DC
+            ).astype(jnp.int32)
+            batch_arange = jnp.arange(N, dtype=jnp.int32)
+            sos = jnp.int32(self.params.SOS)
+
+            def dec_step(st, inp):
+                f_c, lens_c, starts_c, off = inp
+                # an utterance starting EXACTLY at a chunk boundary is never
+                # "entered" by an in-chunk advance (local time begins there),
+                # so the monolithic body's entering-reset is applied between
+                # chunks: lanes that advanced across the boundary into a
+                # start frame get the fresh-utterance state + the boundary
+                # marker, exactly as the monolithic decode would
+                bmask = starts_c[0] & (off > 0) & (off < lane_f_lens)
+                res_idx = st.res_idx + bmask.astype(jnp.int32)
+                midx = jnp.where(bmask, res_idx, params_pack.max_res_len)
+                res = st.res.at[batch_arange, midx].set(
+                    jnp.int8(PACK_BOUNDARY), mode="drop"
+                )
+                m1 = bmask[None, :, None]
+                st = DecodeState(
+                    enc=st.enc,
+                    res=res,
+                    res_idx=res_idx,
+                    pre_g=jnp.where(bmask, sos, st.pre_g),
+                    hg=jnp.where(m1, jnp.zeros_like(st.hg), st.hg),
+                    cg=jnp.where(m1, jnp.zeros_like(st.cg), st.cg),
+                )
+                st = _greedy_decode_chunk_xla(
+                    weights, st, f_c, lens_c, params_pack, starts=starts_c
+                )
+                return st, None
+
+            st, _ = jax.lax.scan(
+                dec_step, st0, (f_ch, lens_ch, st_ch, offs)
             )
             return st.res, st.res_idx
 
@@ -285,7 +382,7 @@ class PackedOfflineRunner:
             ),
         )
 
-        # sample -> (lane, dest feature frame0) for the phase-A scatter
+        # sample -> (lane, dest feature frame0) for the pack_src gather table
         dest0 = {}
         for pos, lane, c0, _F in plan.entries:
             dest0[int(idx_arr[pos])] = (lane, c0 * P)
@@ -294,31 +391,33 @@ class PackedOfflineRunner:
         dqsl = qsl.load_to_device(self.batch_size, indices)
         T_pack = plan.n_chunks * P
         staged = []
+        # flat feature buffer: each staged batch's (T_b, g, ch) featurizer
+        # output lands contiguously at `base` (row index = base + t*g + r);
+        # pack_src[t_packed, lane] holds the flat row of that packed frame
+        pack_src = np.zeros((T_pack, self.n_lanes), np.int32)
+        base = 0
         for wav, lens, row_index in dqsl.batches():
             S = wav.shape[1]
             T_b = cfg.out_frames(S)
             g = wav.shape[0]
-            dest_t = np.full((T_b, g), T_pack, np.int32)  # OOB default
-            dest_lane = np.full((g,), self.n_lanes, np.int32)  # OOB default
             for r, i in enumerate(row_index):
                 if i < 0:
                     continue
                 lane, f0 = dest0[int(i)]
                 F = int(by_sample[int(i)])
-                dest_t[:F, r] = f0 + np.arange(F, dtype=np.int32)
-                dest_lane[r] = lane
-            staged.append(
-                (wav, lens, jax.device_put(dest_t), jax.device_put(dest_lane))
-            )
+                pack_src[f0 : f0 + F, lane] = (
+                    base + np.arange(F, dtype=np.int32) * g + r
+                )
+            staged.append((wav, lens, jnp.int32(base)))
+            base += T_b * g
         self._staged = staged
         self._chunk_lens = jax.device_put(plan.chunk_lens)
         self._resets = jax.device_put(plan.resets)
         self._src_idx = jax.device_put(src_idx)
         self._starts = jax.device_put(starts_arr)
         self._lane_f_lens = jax.device_put(lane_f_lens)
-        self._packed = jnp.zeros(
-            (T_pack, self.n_lanes, cfg.out_feat), jnp.float32
-        )
+        self._pack_src = jax.device_put(pack_src)
+        self._flat = jnp.zeros((max(base, 1), cfg.out_feat), jnp.float32)
         np.asarray(self._lane_f_lens[:1])  # force staging complete
         return plan
 
@@ -332,24 +431,30 @@ class PackedOfflineRunner:
 
         assert self._staged is not None, "call stage() first"
         t0 = time.time()
-        packed = self._packed
-        for wav, lens, dest_t, dest_lane in self._staged:
-            packed = self._stage_batch(packed, wav, lens, dest_t, dest_lane)
+        flat = self._flat
+        for wav, lens, base in self._staged:
+            flat = self._stage_batch(flat, wav, lens, base)
         res, res_idx = self._encode_decode(
-            self.weights, packed, self._chunk_lens, self._resets,
-            self._src_idx, self._starts, self._lane_f_lens,
+            self.weights, flat, self._pack_src, self._chunk_lens,
+            self._resets, self._src_idx, self._starts, self._lane_f_lens,
             self._params_pack,
         )
         np.asarray(res[:1, :1])  # sync: all device work complete
         wall = time.time() - t0
-        self._packed = packed  # donated buffer ping-pong across reps
+        self._flat = flat  # donated buffer ping-pong across reps
 
         t1 = time.time()
         res_np = np.asarray(res)
         idx_np = np.asarray(res_idx)
         readback = time.time() - t1
 
-        tokens = self.harvest(res_np, idx_np)
+        if self._ablate:
+            # bisection run: tokens are garbage by construction; return
+            # empty sequences so the harness's accounting still works
+            n_samples = sum(len(o) for o in self._lane_order)
+            tokens = [np.zeros((0,), np.int32) for _ in range(n_samples)]
+        else:
+            tokens = self.harvest(res_np, idx_np)
         return OfflineResult(
             tokens=tokens,
             wall_seconds=wall,

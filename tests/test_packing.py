@@ -99,6 +99,29 @@ def test_packed_tokens_exact(n_lanes, chunk_frames):
         )
 
 
+@pytest.mark.parametrize("decode_chunk", [2, 3, 8])
+def test_packed_decode_chunking_exact(decode_chunk):
+    """The chunked decode scan (PackedOfflineRunner.decode_chunk) must be
+    token-identical to standalone decodes for ANY chunk size — including
+    tiny chunks that force utterance starts to land EXACTLY on decode-chunk
+    boundaries, where the reset+marker is applied between chunks rather
+    than by the in-chunk entering path."""
+    store = _store(9, seed=2)
+    w = init_weights(jax.random.PRNGKey(3), SMALL)
+    qsl = QuerySampleLibrary(store, CFG, wav_buckets_s=(1.0, 2.0, 3.0))
+    runner = PackedOfflineRunner(
+        w, SMALL, CFG, n_lanes=3, chunk_frames=16, batch_size=4,
+        decode_chunk=decode_chunk,
+    )
+    runner.stage(qsl)
+    result = runner.run_device()
+    ref = _standalone_tokens(w, store, SMALL)
+    for i, (got, want) in enumerate(zip(result.tokens, ref)):
+        assert np.array_equal(got, want), (
+            f"sample {i} (decode_chunk={decode_chunk}): {got} != {want}"
+        )
+
+
 def test_packed_tokens_exact_quant():
     """Same exactness with the int8-quantized encoder (the headline config)."""
     from rnnt_inference_tpu.models.quant import calibrate, quantize_weights
