@@ -305,10 +305,13 @@ def main():
     log(f"store: {n} utts, {store.audio_seconds:.0f} audio-s; "
         f"buckets={qsl.wav_buckets}")
 
-    # BENCH_PACKED=1: sequence-packed Offline (runtime/packing.py) — no
-    # bucket padding or dead rows; utterances concatenate along time on a
-    # BENCH_PACK_CHUNK-frame grain with per-boundary state resets
-    packed = os.environ.get("BENCH_PACKED", "0") == "1"
+    # Sequence-packed Offline (runtime/packing.py) is the DEFAULT headline
+    # mode since its gather-formulation fix measured +2.2% over the bucketed
+    # path (64,852 vs 63,463 audio-s/s, round 4): no bucket padding or dead
+    # rows; utterances concatenate along time on a BENCH_PACK_CHUNK-frame
+    # grain with per-boundary state resets, token-exact vs the bucketed
+    # path by test.  BENCH_PACKED=0 selects the bucketed path.
+    packed = os.environ.get("BENCH_PACKED", "1") == "1"
     t0 = time.time()
     report = run_offline(
         weights,
