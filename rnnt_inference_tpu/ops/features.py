@@ -265,11 +265,17 @@ def matmul_precision():
     ground between the default and the (rejected — see PERFORMANCE.md)
     1-pass bf16 operand cast; token equality must be re-gated per model
     like any feature-precision change."""
-    return (
-        jax.lax.Precision.HIGH
-        if _os.environ.get("RNNT_FEATURE_PRECISION", "highest") == "high"
-        else jax.lax.Precision.HIGHEST
-    )
+    prec = _os.environ.get("RNNT_FEATURE_PRECISION", "highest")
+    if prec == "high":
+        return jax.lax.Precision.HIGH
+    if prec == "default":
+        # 1-pass bf16 operands — what rounds 1-2 implicitly ran (jnp.dot
+        # with no precision= on TPU).  REJECTED for shipping: numerically
+        # the bf16-operand cast the round-3 drift gate failed; kept only as
+        # a diagnostic mode to reproduce the early headline numbers
+        # (docs/PERFORMANCE.md round-4 "headline regression autopsy").
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
 
 
 def power_spectrum(frames: jax.Array, cos_m: jax.Array, sin_m: jax.Array) -> jax.Array:
