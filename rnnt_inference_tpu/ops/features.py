@@ -35,18 +35,26 @@ import numpy as np
 from rnnt_inference_tpu.config import FeaturizerConfig
 
 
+# DFT/mel matmul OPERAND dtype.  f32 is the product contract (the reference
+# runs an f32 STFT; bf16 operands were measured-REJECTED: the log stage
+# amplifies bf16 cancellation in low-power DFT bins past the int8 step and
+# the fake-quant token gate fails — docs/PERFORMANCE.md "bf16 featurizer").
+# This is a TEST FIXTURE, not a serving knob: the former RNNT_FEATURE_DTYPE
+# env var could silently put serving on rejected numerics (VERDICT r4
+# item 7); tests/test_features.py flips it via _set_matmul_dtype to keep the
+# drift gate alive.
+_MATMUL_DTYPE = jnp.float32
+
+
+def _set_matmul_dtype(dt) -> None:
+    """Test-only: select the DFT/mel matmul operand dtype for the next trace
+    (bf16 drift gate, tests/test_features.py).  Never call from serving code."""
+    global _MATMUL_DTYPE
+    _MATMUL_DTYPE = dt
+
+
 def matmul_dtype() -> jnp.dtype:
-    """Trace-time dtype for the DFT/mel matmul OPERANDS (accumulation stays
-    f32 either way).  RNNT_FEATURE_DTYPE=bf16 halves the dominant frontend
-    MXU/HBM cost; the relative feature error (~2^-9 from bf16 operands) is
-    far inside the int8 quantization step of the encoder input, but token
-    equality must be re-gated per model (tests pin f32<->bf16 feature drift;
-    keep f32 if tokens shift)."""
-    return (
-        jnp.bfloat16
-        if _os.environ.get("RNNT_FEATURE_DTYPE", "f32") == "bf16"
-        else jnp.float32
-    )
+    return _MATMUL_DTYPE
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +274,8 @@ def matmul_precision():
     1-pass bf16 operand cast; token equality must be re-gated per model
     like any feature-precision change."""
     prec = _os.environ.get("RNNT_FEATURE_PRECISION", "highest")
+    if prec != "highest":
+        _warn_nondefault_precision(prec)
     if prec == "high":
         return jax.lax.Precision.HIGH
     if prec == "default":
@@ -278,10 +288,34 @@ def matmul_precision():
     return jax.lax.Precision.HIGHEST
 
 
+_PRECISION_WARNED = set()
+
+
+def _warn_nondefault_precision(prec: str) -> None:
+    """One loud stderr line per process when a diagnostic feature-precision
+    mode is traced: "default" (1-pass bf16) was REJECTED by the accuracy
+    gate and "high" (3-pass) has never been token-gated on real weights —
+    neither may silently become a serving configuration (VERDICT r4 item 7).
+    The reference ships exactly one numeric config per run_mode
+    (models/arguments.py:5-68)."""
+    if prec in _PRECISION_WARNED:
+        return
+    _PRECISION_WARNED.add(prec)
+    import sys as _sys
+
+    print(
+        f"[rnnt_inference_tpu] WARNING: RNNT_FEATURE_PRECISION={prec} is a "
+        f"DIAGNOSTIC mode (rejected/ungated numerics, see "
+        f"docs/PERFORMANCE.md); never serve accuracy runs with it",
+        file=_sys.stderr,
+        flush=True,
+    )
+
+
 def power_spectrum(frames: jax.Array, cos_m: jax.Array, sin_m: jax.Array) -> jax.Array:
     """|windowed DFT|^2 via two MXU matmuls (replaces torch.stft +
     mlperf_plugins power_spectrum).  Operand dtype per matmul_dtype()
-    (f32 default; bf16 under RNNT_FEATURE_DTYPE=bf16), f32 accumulation,
+    (f32; bf16 only under the test fixture), f32 accumulation,
     MXU pass count per matmul_precision()."""
     dt = matmul_dtype()
     prec = matmul_precision()

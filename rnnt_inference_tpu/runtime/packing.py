@@ -216,8 +216,8 @@ class PackedOfflineRunner:
             P = self.chunk_frames
             N = self.n_lanes
             # build the packed (T_pack, n_lanes, ch) buffer by row-gather
-            # (pad positions carry clamped indices; their values are masked
-            # by chunk_lens downstream, same as the scatter left them stale)
+            # (pad positions index the dedicated zero row at the end of
+            # `flat`, so they gather zeros — like the scatter formulation)
             packed = jnp.take(flat, pack_src, axis=0)
             if self._ablate == "noenc":
                 res0 = jnp.full((N, params_pack.max_res_len), -1, jnp.int8)
@@ -393,8 +393,16 @@ class PackedOfflineRunner:
         staged = []
         # flat feature buffer: each staged batch's (T_b, g, ch) featurizer
         # output lands contiguously at `base` (row index = base + t*g + r);
-        # pack_src[t_packed, lane] holds the flat row of that packed frame
-        pack_src = np.zeros((T_pack, self.n_lanes), np.int32)
+        # pack_src[t_packed, lane] holds the flat row of that packed frame.
+        # Pad/dead positions (chunk tails, idle lanes) are marked -1 here and
+        # pointed at a dedicated all-zero row appended to the flat buffer
+        # below, so pad frames gather ZEROS — exactly what the original
+        # scatter formulation left there.  INVARIANT either way: pad frames
+        # must never reach the compacted decode timeline (src_idx only
+        # indexes real frames) and utterance-start resets zero any encoder
+        # state they touched; the zero row makes the invariant unconditional
+        # for future consumers (ADVICE r4).
+        pack_src = np.full((T_pack, self.n_lanes), -1, np.int32)
         base = 0
         for wav, lens, row_index in dqsl.batches():
             S = wav.shape[1]
@@ -410,6 +418,7 @@ class PackedOfflineRunner:
                 )
             staged.append((wav, lens, jnp.int32(base)))
             base += T_b * g
+        pack_src[pack_src < 0] = base  # the zero row (never written by DMA)
         self._staged = staged
         self._chunk_lens = jax.device_put(plan.chunk_lens)
         self._resets = jax.device_put(plan.resets)
@@ -417,7 +426,8 @@ class PackedOfflineRunner:
         self._starts = jax.device_put(starts_arr)
         self._lane_f_lens = jax.device_put(lane_f_lens)
         self._pack_src = jax.device_put(pack_src)
-        self._flat = jnp.zeros((max(base, 1), cfg.out_feat), jnp.float32)
+        # +1 row: the all-zero pad row pack_src points dead positions at
+        self._flat = jnp.zeros((base + 1, cfg.out_feat), jnp.float32)
         np.asarray(self._lane_f_lens[:1])  # force staging complete
         return plan
 

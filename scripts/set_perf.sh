@@ -32,9 +32,10 @@ export RNNT_INT8_BN="${RNNT_INT8_BN:-256}"
 # an AMX-era compromise — measured SLOWER on the TPU VPU).
 export RNNT_GATE_ACT="${RNNT_GATE_ACT:-exact}"
 
-# Feature frontend: f32 DFT/mel matmuls (HIGHEST precision).  bf16
-# operands were measured token-breaking; see docs/PERFORMANCE.md.
-export RNNT_FEATURE_DTYPE="${RNNT_FEATURE_DTYPE:-f32}"
+# Feature frontend: f32 DFT/mel matmuls (HIGHEST precision) are the
+# contract.  bf16 operands were measured token-breaking and are now
+# test-fixture-only (no env knob); RNNT_FEATURE_PRECISION != highest is a
+# diagnostic mode that warns loudly.  See docs/PERFORMANCE.md.
 export RNNT_FEATURE_PRECISION="${RNNT_FEATURE_PRECISION:-highest}"
 
 echo "rnnt perf env set: cache=$JAX_COMPILATION_CACHE_DIR lstm=$RNNT_LSTM_IMPL" \

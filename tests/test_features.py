@@ -165,15 +165,18 @@ def test_radix2_power_spectrum_matches_direct():
     np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-3)
 
 
-def test_bf16_feature_matmuls(monkeypatch):
-    """RNNT_FEATURE_DTYPE=bf16 runs the DFT/mel matmuls with bf16 operands
-    (f32 accumulate) — kept experimental and OFF by default: the log stage
-    amplifies bf16 cancellation error in low-power DFT bins (destructive
-    interference leaves |X_k|^2 near the dither floor where relative error
-    explodes).  Measured drift on normalized features: p50 ~1e-3 (harmless)
-    but p99 ~0.1 and max ~1.0 — past the int8 quantization step, so the
-    fake-quant token-equality gate fails and f32 stays the default
-    (VERDICT r2 item 5: "keep f32 if tokens shift")."""
+def test_bf16_feature_matmuls():
+    """bf16 DFT/mel matmul operands (f32 accumulate) were measured-REJECTED:
+    the log stage amplifies bf16 cancellation error in low-power DFT bins
+    (destructive interference leaves |X_k|^2 near the dither floor where
+    relative error explodes).  Measured drift on normalized features: p50
+    ~1e-3 (harmless) but p99 ~0.1 and max ~1.0 — past the int8 quantization
+    step, so the fake-quant token-equality gate fails and f32 is the
+    contract (VERDICT r2 item 5: "keep f32 if tokens shift").  The bf16 mode
+    is reachable ONLY through this test fixture (_set_matmul_dtype) — the
+    former RNNT_FEATURE_DTYPE env knob was demoted because a serving process
+    could silently inherit rejected numerics from the environment
+    (VERDICT r4 item 7)."""
     import jax
     import jax.numpy as jnp
 
@@ -186,9 +189,12 @@ def test_bf16_feature_matmuls(monkeypatch):
     lens = jnp.asarray([32000, 17000, 9000], jnp.int32)
 
     f32_out, l32 = jax.jit(lambda a, b: F.log_mel_features(a, b, cfg))(wav, lens)
-    monkeypatch.setenv("RNNT_FEATURE_DTYPE", "bf16")
-    # fresh trace: matmul_dtype() is read at trace time
-    bf_out, lbf = jax.jit(lambda a, b: F.log_mel_features(a, b, cfg))(wav, lens)
+    F._set_matmul_dtype(jnp.bfloat16)
+    try:
+        # fresh trace: matmul_dtype() is read at trace time
+        bf_out, lbf = jax.jit(lambda a, b: F.log_mel_features(a, b, cfg))(wav, lens)
+    finally:
+        F._set_matmul_dtype(jnp.float32)
     assert np.array_equal(np.asarray(l32), np.asarray(lbf))
     d = np.abs(np.asarray(bf_out) - np.asarray(f32_out))
     # bulk of the features are fine; the tail is what kills the token gate
