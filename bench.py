@@ -22,6 +22,10 @@ speech (~1 symbol per 2-3 frames; dev-clean transcripts are ~14 chars/s
 of audio).  Unbiased random weights saturate the 30-symbols-per-frame cap
 instead, which overweights the decode loop relative to any real workload.
 BENCH_EMISSION=uniform keeps the round-1 unbiased behavior for comparison.
+BENCH_EMISSION=burst (with BENCH_SYM_CAP=30) calibrates a realistic burst
+model for the reference's product decode config: total rate 0.84
+symbols/frame (BENCH_BURST_RATE) with mean burst length 1.05
+(BENCH_BURST_FACTOR ~= 1 + P(burst >= 2)); see bias_joint_burst.
 
 BENCH_SYM_CAP (default 1) sets max_symbols_per_step for the bench run.
 Rationale: with random weights the prediction net cannot learn the
@@ -208,6 +212,235 @@ def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
     return w
 
 
+def bias_joint_burst(weights, params, cfg, target_rate=0.84,
+                     target_burst=1.05, seed=123, fixed=None):
+    """Calibrated BURST emission model for benching the reference's actual
+    decode config (max_symbols_per_step=30, reference models/config.py:14).
+
+    The cap=1 headline protocol sidesteps burst dynamics entirely; raw
+    random weights at cap=30 storm to the cap on every emitting frame
+    (13,046 audio-s/s, round 4).  Real speech is in between: emission rate
+    ~0.84 symbols per post-stack frame with P(burst >= 2) of a few %.
+
+    Why random weights storm — and why small perturbations can't fix it: a
+    frame emits when its emission margin m = logit_top - logit_blank > 0.
+    After the emission, only the prediction-state contribution changes; if
+    that change D is ZERO-MEAN (any random-weight prediction path), then
+    P(m + D > 0) >= P(D > 0) = 1/2 — mean burst length >= 2, and in
+    practice the margin barely moves, so the frame storms to the cap.
+    Trained RNN-T suppresses bursts through an AGREEMENT mechanism instead:
+    consuming a symbol moves the prediction state to "expect the NEXT
+    char's acoustics", so the just-emitted frame (whose acoustics align to
+    the consumed char) scores blank — D is systematically negative for the
+    consumed symbol's logit.
+
+    This model engineers exactly that mechanism into the random weights:
+
+      1. the prediction net is made MEMORYLESS pass-through (w_hh = 0,
+         input/output gates saturated open, forget gate closed): its
+         output g is a fixed nonlinear map G(k) of the last emitted symbol
+         k.  Same shapes, same MXU/VPU work per decode iteration — only
+         the weight VALUES change, so decode cost stays realistic.
+      2. w1_pred is CONSTRUCTED as -2*kappa * pinv(G) @ pinv(w2): through
+         the relu's average 0.5 pass-rate, the joint's pred contribution
+         to the logits becomes ~ -kappa * onehot(k) — repetition
+         suppression of the consumed symbol.  A burst continues only when
+         the frame's runner-up symbol ALSO clears blank, so burst
+         probability falls smoothly as kappa grows.
+      3. blank delta (bisected, as in bias_joint_toward_blank) sets the
+         TOTAL emission rate at the product cap; kappa is laddered until
+         the measured burst factor := symbols(cap)/symbols(cap=1) — the
+         mean emitted burst length — hits `target_burst`.
+
+    All three knobs are weight VALUES: every (kappa, delta) evaluation
+    reuses the same two compiled decode programs (cap and cap=1).
+
+    fixed="amp:delta:kappa" replays a calibrated triple (logged below).
+    """
+    import dataclasses as dc
+
+    import numpy as _np
+
+    from rnnt_inference_tpu.data.dataset import speechlike_noise
+    from rnnt_inference_tpu.models.decoder import greedy_decode
+    from rnnt_inference_tpu.ops.features import log_mel_features
+
+    # ---- history-carrying pass-through prediction net (step 1) ------------
+    # Layer 1 keeps a HALF-OPEN forget gate (decay 0.5 per consumed symbol):
+    # without it, g encodes only the LAST symbol and a frame with two
+    # above-blank symbols ping-pongs them to the cap (suppress k1 -> k2
+    # wins -> suppressing k2 RELEASES k1 -> ...; measured burst ~11 at the
+    # design stage).  With decay, g ~ sum_j 0.5^j G(k_j) over the recent
+    # history, so every symbol of the current burst stays suppressed.
+    def passthrough_layer(layer, forget_bias):
+        w_ih = layer.w_ih.astype(jnp.float32)
+        H4 = w_ih.shape[1]
+        H = H4 // 4
+        b = _np.zeros((H4,), _np.float32)
+        b[0 * H : 1 * H] = 6.0   # input gate ~ open
+        b[1 * H : 2 * H] = forget_bias
+        b[3 * H : 4 * H] = 6.0   # output gate ~ open
+        return dc.replace(
+            layer,
+            w_hh=jnp.zeros_like(layer.w_hh),
+            b=jnp.asarray(b).astype(layer.b.dtype),
+        )
+
+    pred_rnn = [
+        # layer 1: decay-0.5 history accumulator; deeper layers memoryless
+        passthrough_layer(l, 0.0 if li == 0 else -6.0)
+        for li, l in enumerate(weights.pred_rnn)
+    ]
+
+    # host-side replica (zero state) to tabulate the single-symbol map G(k);
+    # the in-decode g for a burst is approximately the decayed mixture of
+    # these (tanh mixing is mildly nonlinear — kappa is calibrated on the
+    # MEASURED burst factor, which absorbs the approximation)
+    def g_of_embeddings(E):
+        sig = lambda v: 1.0 / (1.0 + _np.exp(-v))
+        x = E
+        for layer in pred_rnn:
+            w_ih = _np.asarray(layer.w_ih, _np.float32)
+            b = _np.asarray(layer.b, _np.float32)
+            H = w_ih.shape[1] // 4
+            gates = x @ w_ih + b
+            i, f, g, o = (gates[:, k * H : (k + 1) * H] for k in range(4))
+            c = sig(f) * 0.0 + sig(i) * _np.tanh(g)
+            x = sig(o) * _np.tanh(c)
+        return x  # (28, H_pred)
+
+    # embed covers only the 28 EMITTABLE symbols (blank is never consumed,
+    # SOS embeds to the zero vector via the reference's masked-fill hack)
+    E = _np.asarray(weights.embed, _np.float32)  # (28, pred_input)
+    G = g_of_embeddings(E)  # (28, H_pred)
+    w2 = _np.asarray(weights.joint.w2, _np.float32)  # (joint_hidden, 29)
+    # want G @ W1p @ (0.5 * w2) = -kappa * [I_28 | 0]  (relu pass-rate ~0.5):
+    # consuming symbol k suppresses logit k by kappa, leaves blank untouched
+    T_unit = _np.zeros((E.shape[0], w2.shape[1]), _np.float32)
+    T_unit[: E.shape[0], : E.shape[0]] = -_np.eye(E.shape[0])
+    W1p_unit = (
+        _np.linalg.pinv(G) @ T_unit @ _np.linalg.pinv(w2)
+    )  # (H_pred, joint_hidden)
+
+    def biased_joint(amp, delta, kappa):
+        jw = weights.joint
+        jw = dc.replace(
+            jw,
+            w1_pred=jnp.asarray(2.0 * kappa * W1p_unit).astype(
+                jw.w1_pred.dtype
+            ),
+            w1_trans=(jw.w1_trans.astype(jnp.float32) * amp).astype(jw.w1_trans.dtype),
+            b2=jw.b2.astype(jnp.float32)
+            .at[params.BLANK]
+            .add(delta)
+            .astype(jw.b2.dtype),
+        )
+        return dc.replace(weights, joint=jw, pred_rnn=pred_rnn)
+
+    if fixed is not None:
+        amp_s, delta_s, kappa_s = str(fixed).split(":")
+        amp, delta, kappa = float(amp_s), float(delta_s), float(kappa_s)
+        log(f"burst-bias: fixed amp={amp:g} delta={delta:.4f} kappa={kappa:g}")
+        return biased_joint(amp, delta, kappa)
+
+    rng = _np.random.RandomState(seed)
+    wav = jnp.asarray(
+        _np.stack([speechlike_noise(rng, 64000) for _ in range(8)])
+    )
+    lens = jnp.full((8,), 64000, jnp.int32)
+    feats, flens = jax.jit(lambda a, b: log_mel_features(a, b, cfg))(wav, lens)
+    frames = float(jnp.sum(-(-flens // params.stack_time_factor)))
+    params1 = dc.replace(params, max_symbols_per_step=1)
+
+    def symbols(w, p):
+        _, rlens = greedy_decode(w, feats, flens, params=p)
+        return float(_np.sum(_np.asarray(rlens)))
+
+    amp = 4.0  # frame-feature variability backstop (see bias_joint_toward_blank)
+
+    def calibrated(kappa):
+        """Bisect delta for target_rate at this kappa; return
+        (delta, rate, burst_factor)."""
+        evals = []
+
+        def rate(delta):
+            r = symbols(biased_joint(amp, delta, kappa), params) / frames
+            evals.append((delta, r))
+            return r
+
+        lo, hi = -1.0, 1.0
+        while rate(lo) <= target_rate and lo > -4096:
+            lo *= 4
+        while rate(hi) > target_rate and hi < 4096:
+            hi *= 4
+        for _ in range(12):
+            mid = 0.5 * (lo + hi)
+            if rate(mid) > target_rate:
+                lo = mid
+            else:
+                hi = mid
+        delta, r = min(evals, key=lambda dr: abs(dr[1] - target_rate))
+        sym_cap = symbols(biased_joint(amp, delta, kappa), params)
+        sym_1 = symbols(biased_joint(amp, delta, kappa), params1)
+        burst = sym_cap / max(sym_1, 1.0)
+        log(f"burst calibration: kappa={kappa:g} delta={delta:.4f} -> "
+            f"{r:.2f} sym/frame, burst factor {burst:.3f} "
+            f"(targets {target_rate}, {target_burst})")
+        return delta, r, burst
+
+    # kappa ladder: burst factor falls from ~cap (kappa=0 storms) toward 1
+    # as suppression grows; bracket the target, then bisect kappa
+    best = None  # (|burst-target|, kappa, delta, r, burst)
+    prev = None  # (kappa, burst)
+    for kappa in (0.03125, 0.0625, 0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0,
+                  16.0, 32.0, 64.0):
+        delta, r, burst = calibrated(kappa)
+        rate_ok = 0.5 * target_rate <= r <= 2.0 * target_rate
+        if rate_ok:
+            cand = (abs(burst - target_burst), kappa, delta, r, burst)
+            if best is None or cand < best:
+                best = cand
+        if not rate_ok:
+            # rate calibration collapsed (suppression froze emission) — the
+            # burst number is meaningless, never treat it as a bracket; the
+            # ladder has overshot, stop raising kappa
+            if prev is not None:
+                break
+            continue
+        if burst <= target_burst:
+            if prev is not None:
+                k_lo, k_hi = prev[0], kappa  # burst(k_lo) > target > burst(k_hi)
+                for _ in range(4):
+                    k_mid = (k_lo * k_hi) ** 0.5
+                    delta, r, burst = calibrated(k_mid)
+                    if 0.5 * target_rate <= r <= 2.0 * target_rate:
+                        cand = (abs(burst - target_burst), k_mid, delta, r, burst)
+                        if best is None or cand < best:
+                            best = cand
+                    if burst > target_burst:
+                        k_lo = k_mid
+                    else:
+                        k_hi = k_mid
+            break
+        prev = (kappa, burst)
+    assert best is not None, "burst calibration failed at every kappa"
+    _, kappa, delta, r, burst = best
+    log(f"burst-bias: using amp={amp:g} delta={delta:.4f} kappa={kappa:g} "
+        f"({r:.2f} sym/frame, burst factor {burst:.3f}; replay with "
+        f"BENCH_BURST_DELTA={amp:g}:{delta:.4f}:{kappa:g})")
+    global LAST_BURST_STATS
+    LAST_BURST_STATS = dict(
+        kappa=kappa, delta=round(delta, 4), sym_per_frame=round(r, 3),
+        burst_factor=round(burst, 3),
+    )
+    return biased_joint(amp, delta, kappa)
+
+
+# set by bias_joint_burst; folded into the bench protocol record so the
+# cap-30 defense row carries its achieved emission statistics
+LAST_BURST_STATS = None
+
+
 def main():
     n = int(os.environ.get("BENCH_N", "8192"))
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
@@ -292,12 +525,23 @@ def main():
     else:
         weights = init_weights(jax.random.PRNGKey(0), params, dtype=dtype)
 
-    if os.environ.get("BENCH_EMISSION", "blank") == "blank":
+    emission = os.environ.get("BENCH_EMISSION", "blank")
+    if emission == "blank":
         weights = bias_joint_toward_blank(
             weights, params, cfg, target_rate=0.8,
             # BENCH_BLANK_DELTA skips the measured bisection (dev loop);
             # unset, the delta is calibrated on-device
             fixed_delta=os.environ.get("BENCH_BLANK_DELTA"),
+        )
+    elif emission == "burst":
+        # the cap-30 defense row (VERDICT r4 item 2): realistic burst
+        # statistics under the reference's product decode config — run with
+        # BENCH_SYM_CAP=30 so `params` carries the product cap
+        weights = bias_joint_burst(
+            weights, params, cfg,
+            target_rate=float(os.environ.get("BENCH_BURST_RATE", "0.84")),
+            target_burst=float(os.environ.get("BENCH_BURST_FACTOR", "1.05")),
+            fixed=os.environ.get("BENCH_BURST_DELTA"),
         )
 
     store = SampleStore.synthetic(n=n, seed=0)
@@ -324,6 +568,11 @@ def main():
         wav_buckets_s=buckets,
         packed=packed,
         chunk_frames=int(os.environ.get("BENCH_PACK_CHUNK", "16")),
+        # decode-scan grain over the compacted timeline: larger chunks
+        # average out per-chunk max-lane emission skew (sd ~ sqrt(DC)), at
+        # the risk of the monolithic-decode per-iteration penalty round 4
+        # measured; sweep via the queue (64/128/256)
+        decode_chunk=int(os.environ.get("BENCH_PACK_DECODE_CHUNK", "128")),
         # 20 s window: relay RPC stalls (hundreds of ms, occasionally
         # seconds) amortize; measured run-to-run spread drops well under
         # the +-10% seen at 3 s windows
@@ -409,6 +658,11 @@ def main():
             "batch": batch,
             "n_samples": n,
             "packed": packed,
+            "pack_chunk": int(os.environ.get("BENCH_PACK_CHUNK", "16")),
+            "pack_decode_chunk": int(
+                os.environ.get("BENCH_PACK_DECODE_CHUNK", "128")
+            ),
+            **({"burst": LAST_BURST_STATS} if LAST_BURST_STATS else {}),
         },
     }
     print(json.dumps(payload))
@@ -418,6 +672,7 @@ def main():
     if not any(k in os.environ for k in (
         "BENCH_DTYPE", "BENCH_EMISSION", "BENCH_SYM_CAP", "BENCH_N",
         "BENCH_BATCH", "BENCH_SECONDS", "RNNT_DECODE_IMPL", "BENCH_PACKED",
+        "BENCH_PACK_CHUNK", "BENCH_PACK_DECODE_CHUNK",
     )):
         try:
             with open(LAST_GOOD_PATH, "w") as f:

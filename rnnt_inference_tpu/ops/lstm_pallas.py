@@ -184,7 +184,7 @@ def lstm_layer_pallas(
 # emits f32 instead).
 
 
-def _quant_lstm_cat_kernel(taxis, emit_f32):
+def _quant_lstm_cat_kernel(taxis, emit_f32, bf16_gates=False):
   def kernel(x_ref, wih_ref, whh_ref, h0_ref, c0_ref, scales_ref,
              ys_ref, hT_ref, cT_ref,
              h_s, c_s):
@@ -211,9 +211,23 @@ def _quant_lstm_cat_kernel(taxis, emit_f32):
 
     gates_i32 = i32dot(x_ref[0], wih_ref[:]) + i32dot(h_s[:], whh_ref[:])
     gates = gates_i32.astype(jnp.float32) * rb + bias
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * c_s[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    if bf16_gates:
+        # DIAGNOSTIC probe (RNNT_INT8_GATE_BF16=1, VERDICT r4 item 8): the
+        # kernel's serial VPU section is the 5 transcendentals per element;
+        # evaluate them on bf16 INPUTS (outputs cast back) while keeping
+        # the cell-state multiply-accumulate in f32 — unlike the round-1
+        # all-bf16-gates experiment, which also accumulated c in bf16.
+        # Numerics change (~2^-8 gate inputs); tokens must be re-gated
+        # before this could ever ship.
+        i, f, g, o = jnp.split(gates.astype(jnp.bfloat16), 4, axis=-1)
+        sig = lambda v: jax.nn.sigmoid(v).astype(jnp.float32)
+        tnh = lambda v: jnp.tanh(v).astype(jnp.float32)
+        c_new = sig(f) * c_s[:] + sig(i) * tnh(g)
+        h_new = sig(o) * tnh(c_new.astype(jnp.bfloat16))
+    else:
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c_s[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
     h_s[:] = quantize(h_new, in_scale)
     c_s[:] = c_new
     if emit_f32:
@@ -235,7 +249,9 @@ def bias_ref_get(scales_ref):
     return scales_ref[1, :]
 
 
-@functools.partial(jax.jit, static_argnames=("emit_f32", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("emit_f32", "bf16_gates", "interpret")
+)
 def _quant_lstm_recurrence(
     x: jax.Array,       # (T, N, IC) int8
     w_ih: jax.Array,    # (IC, 4H) int8
@@ -244,6 +260,7 @@ def _quant_lstm_recurrence(
     c0: jax.Array,      # (N, H) f32
     scales: jax.Array,  # (2, 4H) f32: [rb, in_scale, out_scale, 0...; bias]
     emit_f32: bool,
+    bf16_gates: bool = False,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     T, N, IC = x.shape
@@ -274,7 +291,7 @@ def _quant_lstm_recurrence(
         taxis = 1
     y_dtype = jnp.float32 if emit_f32 else jnp.int8
     kernel = pl.pallas_call(
-        _quant_lstm_cat_kernel(taxis, emit_f32),
+        _quant_lstm_cat_kernel(taxis, emit_f32, bf16_gates),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BN, IC), x_map, memory_space=pltpu.VMEM),
@@ -326,7 +343,10 @@ def quant_lstm_layer_pallas(
     scales = jnp.stack([scalars, layer.b.astype(jnp.float32)])
     return _quant_lstm_recurrence(
         x_i8, layer.w_ih, layer.w_hh, h_i8, c.astype(jnp.float32), scales,
-        emit_f32=emit_f32, interpret=interpret,
+        emit_f32=emit_f32,
+        # static arg -> env flips retrace; DIAGNOSTIC only (kernel comment)
+        bf16_gates=_os.environ.get("RNNT_INT8_GATE_BF16", "0") == "1",
+        interpret=interpret,
     )
 
 

@@ -77,6 +77,7 @@ def run_offline(
     wav_buckets_s=None,
     packed: bool = False,
     chunk_frames: int = 16,
+    decode_chunk: int = 128,
 ) -> RunReport:
     """Offline scenario: issue the whole sample set as one query, measure
     end-to-end throughput (reference run shape: run.sh:66-71).
@@ -99,6 +100,7 @@ def run_offline(
         prunner = PackedOfflineRunner(
             weights, params, cfg, n_lanes=batch_size,
             chunk_frames=chunk_frames, batch_size=batch_size,
+            decode_chunk=decode_chunk,
         )
         plan = prunner.stage(qsl)
         rep_walls = []

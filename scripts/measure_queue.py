@@ -59,31 +59,40 @@ def jobs(blank_delta):
         e.update(kw)
         return e
 
-    # The round-4 program (16 jobs: headline, int8 pipe A/B, labelloop
-    # K-ladder + cap-30 + Server, packed chunk ladder, frontend precision,
-    # quant Server probe) ran to completion on 2026-08-19; records live in
-    # measurements/*.json and the verdicts in docs/PERFORMANCE.md.  The
-    # measured-negative paths (labelloop decode, grid-pipelined int8
-    # kernel) were then DELETED, so their legs are gone from this list —
-    # re-measuring them would require reviving the code at git history
-    # ee9f3f3..HEAD.
+    # Round-5 program (the round-4 program completed 2026-08-19; its records
+    # live in measurements/*.json and verdicts in docs/PERFORMANCE.md).
+    # Legs map to VERDICT r4 items: 2 (cap-30 defense), 3 (packed skew/
+    # efficiency sweep), 4 (dispatch-free Server cadence), 5 (frontend
+    # phase attribution), 8 (int8 VPU probe).  The 'bucketed' leg pins
+    # BENCH_PACKED=0 so the packed-vs-bucketed A/B is preserved (ADVICE r4:
+    # the old 'packed' leg duplicated the now-packed-by-default headline).
     return [
         # name, argv, env overrides, timeout_s
         ("headline", bench, {}, 7200),
+        ("bucketed", bench, bench_env(BENCH_PACKED="0"), 7200),
+        # packed plan sweep (VERDICT r5 item 3): chunk grain 8 (the round-4
+        # leg died pre-gather-fix) + decode-chunk grain ladder
+        ("packed_chunk8", bench, bench_env(BENCH_PACK_CHUNK="8"), 5400),
+        ("packed_dc64", bench, bench_env(BENCH_PACK_DECODE_CHUNK="64"), 5400),
+        ("packed_dc256", bench, bench_env(BENCH_PACK_DECODE_CHUNK="256"), 5400),
+        # cap-30 rows: protocol replay (storming) + calibrated burst model
+        ("symcap30", bench, bench_env(BENCH_SYM_CAP="30", BENCH_PACKED="1"),
+         5400),
+        ("symcap30_burst", bench,
+         # burst calibrates its own (amp, delta, s); no blank replay
+         {"BENCH_SYM_CAP": "30", "BENCH_EMISSION": "burst"}, 7200),
+        # int8 encoder: plain control + bf16-transcendental VPU probe
         ("int8_plain", [PY, os.path.join(REPO, "scripts/bench_int8_bn.py"),
                         "1024", "500"], {}, 3600),
-        # sequence-packed Offline (VERDICT item 5)
-        ("packed", bench, bench_env(BENCH_PACKED="1"), 7200),
-        # burst-regime protocol row
-        ("symcap30", bench, bench_env(BENCH_SYM_CAP="30"), 5400),
-        # frontend precision A/B
-        ("features_default", [PY, os.path.join(REPO, "scripts/bench_features.py"),
-                              "1024", "15"], {}, 3600),
-        ("features_high", [PY, os.path.join(REPO, "scripts/bench_features.py"),
-                           "1024", "15"], {"RNNT_FEATURE_PRECISION": "high"}, 3600),
-        # quant Server probe
-        ("server_quant", [PY, os.path.join(REPO, "scripts/server_probe.py"),
-                          "10,20,40,80", "45"], {"PROBE_DTYPE": "quant"}, 5400),
+        ("int8_gate_bf16", [PY, os.path.join(REPO, "scripts/bench_int8_bn.py"),
+                            "1024", "500"], {"RNNT_INT8_GATE_BF16": "1"}, 3600),
+        # dispatch-free Server step cadence (replaces the dispatch-chain row)
+        ("server_cadence", [PY, os.path.join(REPO, "scripts/server_cadence.py")],
+         dict(delta_env), 5400),
+        # frontend stage attribution (before/instead of a fused kernel)
+        ("features_phases", [PY,
+                             os.path.join(REPO, "scripts/bench_features_phases.py"),
+                             "1024", "15"], {}, 5400),
     ]
 
 
