@@ -147,7 +147,12 @@ class SampleStore:
         samples = [
             speechlike_noise(rng, int(d * sample_rate)) for d in durs
         ]
-        return cls(kind="waveform", samples=samples, transcripts=[""] * n)
+        # names let synthetic stores exercise name-keyed flows end-to-end
+        # (--calib_list filtering, manifest joins) in corpus-less CI drives
+        return cls(
+            kind="waveform", samples=samples, transcripts=[""] * n,
+            names=[f"synthetic-{i:05d}.wav" for i in range(n)],
+        )
 
 
 def speechlike_noise(

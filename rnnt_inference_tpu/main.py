@@ -52,6 +52,20 @@ def parse_args(argv=None):
                    choices=["Offline", "Server", "SingleStream"])
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--split_len", type=int, default=-1)
+    # sequence-packed Offline serving (runtime/packing.py): the fastest
+    # measured Offline mode (+2.2% over bucketed, round 4) and the bench
+    # headline mode — now also the PRODUCT default for waveform Offline
+    # runs (perf and accuracy; token-exact vs bucketed by test).  Feature-
+    # store runs fall back to bucketed (packing featurizes waveforms).
+    p.add_argument("--packed", dest="packed", action="store_true",
+                   default=None,
+                   help="force the sequence-packed Offline path")
+    p.add_argument("--no_packed", dest="packed", action="store_false",
+                   help="force the bucketed Offline path")
+    p.add_argument("--pack_chunk", type=int, default=16,
+                   help="packing grain in feature frames")
+    p.add_argument("--pack_decode_chunk", type=int, default=128,
+                   help="decode-scan grain over the packed timeline")
     p.add_argument("--server_slots", type=int, default=128)
     p.add_argument("--response_size", type=int, default=9)
     p.add_argument("--native_loadgen", action="store_true",
@@ -219,6 +233,15 @@ def _run_scenario(args, weights, store, params, cfg):
     if args.scenario == "Offline":
         from rnnt_inference_tpu.runtime.harness import run_offline
 
+        # packed is the Offline default for waveform stores (the product's
+        # fastest mode must be the product's served mode — the reference
+        # serves its headline config through its one binary,
+        # launch_sut.sh:44-81); --no_packed selects bucketed explicitly
+        packed = args.packed
+        if packed is None:
+            packed = store.kind == "waveform"
+        elif packed and store.kind != "waveform":
+            raise SystemExit("--packed requires a waveform sample store")
         if args.native_loadgen and not args.accuracy:
             from rnnt_inference_tpu.runtime.harness import run_offline_native
 
@@ -237,6 +260,9 @@ def _run_scenario(args, weights, store, params, cfg):
                     if (args.mlperf_conf or args.user_conf)
                     else 0
                 ),
+                packed=packed,
+                chunk_frames=args.pack_chunk,
+                decode_chunk=args.pack_decode_chunk,
             )
             _write_summary(args, validate_report(settings, report.summary()))
             return
@@ -247,6 +273,9 @@ def _run_scenario(args, weights, store, params, cfg):
             accuracy=args.accuracy,
             output_dir=args.output_dir,
             device_resident=not args.accuracy,
+            packed=packed,
+            chunk_frames=args.pack_chunk,
+            decode_chunk=args.pack_decode_chunk,
         )
         print(json.dumps(report.summary(), indent=2))
     elif args.scenario == "Server":

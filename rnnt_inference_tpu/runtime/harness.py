@@ -98,7 +98,10 @@ def run_offline(
         from rnnt_inference_tpu.runtime.packing import PackedOfflineRunner
 
         prunner = PackedOfflineRunner(
-            weights, params, cfg, n_lanes=batch_size,
+            weights, params, cfg,
+            # more lanes than utterances would idle (each lane needs >= 1
+            # utterance); small stores pack into fewer, fuller lanes
+            n_lanes=min(batch_size, len(store)),
             chunk_frames=chunk_frames, batch_size=batch_size,
             decode_chunk=decode_chunk,
         )
@@ -213,6 +216,90 @@ def run_offline(
     return report
 
 
+def _native_offline_loop(
+    store, cfg, n, n_queries, dispatch, harvest,
+    max_wall_s, max_inflight_cycles, extra,
+) -> RunReport:
+    """Native-clock Offline serve loop for whole-set-cycle runners (the
+    packed path): `dispatch()` async-dispatches one full cycle and returns
+    device arrays, `harvest(*host_arrays)` turns them into per-sample token
+    lists in store order.  Queries cycle over the sample set (query q ->
+    sample q % n); the measured wall is first-issue -> last-completion on
+    the native loadgen clock, bulk token readback included."""
+    from rnnt_inference_tpu.runtime.native import NativeLoadGen
+
+    n_cycles = -(-n_queries // n)
+    lg = NativeLoadGen(n, 1.0, mode="Offline", min_query_count=n_queries)
+    polled = 0
+    tokens_first_cycle: dict = {}
+    sample_lens = store.lengths
+    completed_audio_samples = 0
+    t_host0 = time.time()
+
+    def poll_until(q_max: int) -> None:
+        nonlocal polled
+        while polled <= q_max:
+            got = lg.poll(max_n=4096, timeout_us=100000)
+            polled += len(got)
+            if not got and lg.done_issuing:
+                break
+
+    try:
+        inflight: List[tuple] = []  # (cycle, device arrays...)
+
+        def complete_cycle(cycle: int, arrays) -> None:
+            nonlocal completed_audio_samples
+            host = [np.asarray(a) for a in arrays]  # bulk readback (timed)
+            tokens = harvest(*host)
+            base = cycle * n
+            for i, toks in enumerate(tokens):
+                q = base + i
+                if q >= n_queries:
+                    continue  # partial last cycle: extra work is dead work
+                poll_until(q)
+                if cycle == 0:
+                    tokens_first_cycle[i] = toks
+                completed_audio_samples += int(sample_lens[i])
+                lg.complete(q)
+
+        for cycle in range(n_cycles):
+            if time.time() - t_host0 > max_wall_s:
+                break
+            inflight.append((cycle, dispatch()))
+            while len(inflight) >= max_inflight_cycles:
+                complete_cycle(*inflight.pop(0))
+        while inflight:
+            complete_cycle(*inflight.pop(0))
+        rep = lg.report()
+    finally:
+        lg.close()
+
+    wall = rep["wall_seconds"]
+    audio_s = completed_audio_samples / cfg.sample_rate
+    hyps = [
+        seq_to_sen(tokens_first_cycle[i], len(tokens_first_cycle[i]))
+        for i in sorted(tokens_first_cycle)
+    ]
+    return RunReport(
+        scenario="Offline",
+        samples=rep["completed"],
+        wall_seconds=wall,
+        samples_per_second=rep["completed"] / wall if wall else 0.0,
+        audio_seconds_per_second=audio_s / wall if wall else 0.0,
+        hypotheses=hyps,
+        extra=dict(
+            completed=rep["completed"],
+            issued=rep["issued"],
+            qps=rep["qps"],
+            performance_sample_count=n,
+            queries=n_queries,
+            cycles=n_cycles,
+            timing="native",
+            **extra,
+        ),
+    )
+
+
 def run_offline_native(
     weights: RNNTWeights,
     store: SampleStore,
@@ -229,10 +316,20 @@ def run_offline_native(
     wav_buckets_s=None,
     max_wall_s: float = 700.0,
     max_inflight_cycles: int = 4,
+    packed: bool = False,
+    chunk_frames: int = 16,
+    decode_chunk: int = 128,
+    mesh=None,
 ) -> RunReport:
     """Offline performance run with the native mini-loadgen as the single
     timing authority — the same clock Server and SingleStream use (reference:
     loadgen owns all timing for every scenario, csrc/main.cpp:108-147).
+
+    packed=True serves every cycle through the sequence-packed runner
+    (runtime/packing.py) under the SAME native clock: a cycle's queries
+    complete from harvest() order after its bulk token readback, so the
+    measured wall includes readback exactly as the reference's loadgen
+    timing does.  mesh optionally shards the packed lanes over "data".
 
     MLPerf Offline rules enforced:
       - the QSL loads exactly `performance_sample_count` samples (reference
@@ -269,8 +366,37 @@ def run_offline_native(
         if wav_buckets_s
         else QuerySampleLibrary(store, cfg)
     )
-    runner = OfflineRunner(weights, params, cfg, batch_size, split_len)
     assert store.kind == "waveform", "native Offline path serves waveforms"
+    if packed:
+        from rnnt_inference_tpu.runtime.packing import PackedOfflineRunner
+
+        prunner = PackedOfflineRunner(
+            weights, params, cfg,
+            # lanes capped at the store size (see run_offline); with a mesh
+            # the cap still must divide the data-parallel degree
+            n_lanes=(
+                min(batch_size, len(store)) if mesh is None else batch_size
+            ),
+            chunk_frames=chunk_frames, batch_size=batch_size,
+            decode_chunk=decode_chunk, mesh=mesh,
+        )
+        plan = prunner.stage(qsl)
+        if warmup:
+            prunner.run_device()  # compile + one-off lazy costs, untimed
+        return _native_offline_loop(
+            store, cfg, n, n_queries,
+            dispatch=prunner.run_device_async,
+            harvest=prunner.harvest,
+            max_wall_s=max_wall_s,
+            max_inflight_cycles=max_inflight_cycles,
+            extra=dict(
+                packed=True,
+                packing_efficiency=round(plan.packing_efficiency, 4),
+                pack_chunks=plan.n_chunks,
+                chunk_frames=chunk_frames,
+            ),
+        )
+    runner = OfflineRunner(weights, params, cfg, batch_size, split_len)
     dqsl = qsl.load_to_device(batch_size)
     if warmup:
         runner.warmup_device(dqsl)

@@ -152,17 +152,67 @@ class PackedOfflineRunner:
         chunk_frames: int = 16,
         batch_size: int = 1024,
         decode_chunk: int = 128,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a "data" axis.  The packed
+        pipeline is lane-parallel end-to-end: the LANE axis of the pack
+        gather table, chunk metadata, compaction tables, and decode state
+        shards over "data" (weights replicate, the flat feature buffer is
+        replicated for the gather), so the chunked encoder scan and the
+        decode while_loop run per-shard with the loop-cond all-reduce as
+        the only per-iteration collective — the same dp structure as the
+        bucketed OfflineRunner (reference analog: instance threads over
+        disjoint batches, csrc/torch_sut.cpp:104-121)."""
         assert chunk_frames % params.stack_time_factor == 0, (
             f"chunk_frames {chunk_frames} must be a multiple of the "
             f"stack_time factor {params.stack_time_factor}"
         )
-        self.weights = weights
         self.params = params
         self.cfg = cfg
         self.n_lanes = n_lanes
         self.chunk_frames = chunk_frames
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from rnnt_inference_tpu.parallel.mesh import weight_shardings
+
+            dp = mesh.shape["data"]
+            assert n_lanes % dp == 0, (
+                f"n_lanes {n_lanes} not divisible by data-parallel degree {dp}"
+            )
+            wspec = weight_shardings(mesh, weights, tensor_parallel=False)
+            weights = jax.device_put(weights, wspec)
+            rep = NamedSharding(mesh, P())
+            lane_vec = NamedSharding(mesh, P("data"))
+            lane_mat = NamedSharding(mesh, P(None, "data"))
+            self._shardings = dict(
+                stage=dict(
+                    in_shardings=(
+                        rep,  # flat feature buffer (replicated for the gather)
+                        NamedSharding(mesh, P("data", None)),  # wav batch
+                        lane_vec,  # wav lens
+                        rep,  # base offset scalar
+                    ),
+                    out_shardings=rep,
+                ),
+                encdec=dict(
+                    in_shardings=(
+                        wspec, rep, lane_mat, lane_mat, lane_mat, lane_mat,
+                        lane_mat, lane_vec,
+                    ),
+                    out_shardings=(
+                        NamedSharding(mesh, P("data", None)),
+                        lane_vec,
+                    ),
+                ),
+            )
+            self._table_shardings = dict(mat=lane_mat, vec=lane_vec, rep=rep)
+        else:
+            self._shardings = dict(stage={}, encdec={})
+            self._table_shardings = None
+        self.weights = weights
         # the packed timeline is ~4x a bucket-max utterance; decoding it as
         # ONE monolithic while_loop measured far off the bucketed decode's
         # per-iteration cost (docs/PERFORMANCE.md round-4 packed breakdown),
@@ -183,7 +233,9 @@ class PackedOfflineRunner:
         # the shipping quant/bf16 configs -> 2x smaller packed-f buffer)
         self._f_dtype = weights.joint.w1_trans.dtype
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(
+            jax.jit, donate_argnums=(0,), **self._shardings["stage"]
+        )
         def _stage_batch(flat, wav_i16, wav_lens, base):
             """Featurize one staged wav-bucket batch and DMA its (T_b*g, ch)
             output into the flat feature buffer at a contiguous offset.
@@ -312,7 +364,8 @@ class PackedOfflineRunner:
             return st.res, st.res_idx
 
         self._encode_decode = jax.jit(
-            _encode_decode, static_argnames=("params_pack",)
+            _encode_decode, static_argnames=("params_pack",),
+            **self._shardings["encdec"],
         )
 
     # -- untimed staging ----------------------------------------------------
@@ -420,27 +473,30 @@ class PackedOfflineRunner:
             base += T_b * g
         pack_src[pack_src < 0] = base  # the zero row (never written by DMA)
         self._staged = staged
-        self._chunk_lens = jax.device_put(plan.chunk_lens)
-        self._resets = jax.device_put(plan.resets)
-        self._src_idx = jax.device_put(src_idx)
-        self._starts = jax.device_put(starts_arr)
-        self._lane_f_lens = jax.device_put(lane_f_lens)
-        self._pack_src = jax.device_put(pack_src)
+        ts = self._table_shardings
+        put_m = (lambda a: jax.device_put(a, ts["mat"])) if ts else jax.device_put
+        put_v = (lambda a: jax.device_put(a, ts["vec"])) if ts else jax.device_put
+        self._chunk_lens = put_m(plan.chunk_lens)
+        self._resets = put_m(plan.resets)
+        self._src_idx = put_m(src_idx)
+        self._starts = put_m(starts_arr)
+        self._lane_f_lens = put_v(lane_f_lens)
+        self._pack_src = put_m(pack_src)
         # +1 row: the all-zero pad row pack_src points dead positions at
-        self._flat = jnp.zeros((base + 1, cfg.out_feat), jnp.float32)
+        flat0 = jnp.zeros((base + 1, cfg.out_feat), jnp.float32)
+        self._flat = jax.device_put(flat0, ts["rep"]) if ts else flat0
         np.asarray(self._lane_f_lens[:1])  # force staging complete
         return plan
 
     # -- the timed rep -------------------------------------------------------
 
-    def run_device(self):
-        """One timed rep: phase-A featurize+scatter per staged batch, one
-        phase-B/C encode+decode, synced by a one-element readback.  Returns
-        an OfflineResult-compatible object."""
-        from rnnt_inference_tpu.runtime.offline import OfflineResult
-
+    def run_device_async(self):
+        """Dispatch one full rep (phase-A featurize+DMA per staged batch +
+        one phase-B/C encode+decode) WITHOUT host synchronization; returns
+        the device-resident (res, res_idx).  The native-loadgen path keeps a
+        small in-flight window of these so one cycle's token readback
+        overlaps the next cycle's device compute."""
         assert self._staged is not None, "call stage() first"
-        t0 = time.time()
         flat = self._flat
         for wav, lens, base in self._staged:
             flat = self._stage_batch(flat, wav, lens, base)
@@ -449,9 +505,18 @@ class PackedOfflineRunner:
             self._resets, self._src_idx, self._starts, self._lane_f_lens,
             self._params_pack,
         )
+        self._flat = flat  # donated buffer ping-pong across reps
+        return res, res_idx
+
+    def run_device(self):
+        """One timed rep, synced by a one-element readback.  Returns an
+        OfflineResult-compatible object."""
+        from rnnt_inference_tpu.runtime.offline import OfflineResult
+
+        t0 = time.time()
+        res, res_idx = self.run_device_async()
         np.asarray(res[:1, :1])  # sync: all device work complete
         wall = time.time() - t0
-        self._flat = flat  # donated buffer ping-pong across reps
 
         t1 = time.time()
         res_np = np.asarray(res)

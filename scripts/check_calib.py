@@ -73,13 +73,21 @@ def main(argv=None) -> int:
                    help="relative tolerance (corpora differ; sanity gate)")
     args = p.parse_args(argv)
 
-    import numpy as np
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # amax readout needs no TPU
+    from rnnt_inference_tpu.models.checkpoint import load_calib
 
     nv = expected_shared_amax(parse_trt_cache(args.cache))
-    calib = np.load(args.calib)
+    calib = load_calib(args.calib)  # the flattened-pytree .npz main.py saves
     ours = {
-        **{f"pre_{i}": float(a) for i, a in enumerate(calib["pre_amax"])},
-        **{f"post_{i}": float(a) for i, a in enumerate(calib["post_amax"])},
+        **{f"pre_{i}": float(a) for i, a in enumerate(calib.pre_amax)},
+        **{f"post_{i}": float(a) for i, a in enumerate(calib.post_amax)},
     }
 
     bad = 0

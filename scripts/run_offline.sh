@@ -13,10 +13,14 @@ SPLIT_LEN=${SPLIT_LEN:--1}
 ACCURACY=${ACCURACY:-false}
 OUTPUT_DIR=${OUTPUT_DIR:-output/offline}
 NATIVE=${NATIVE:-false}          # route timing through the native issuer
+PACKED=${PACKED:-}               # ""=auto (packed for waveform stores),
+                                 # true=force packed, false=force bucketed
 
 ARGS=(--scenario Offline --benchmark --batch_size "$BATCH_SIZE" \
       --split_len "$SPLIT_LEN" --output_dir "$OUTPUT_DIR")
 [ "$NATIVE" = "true" ] && ARGS+=(--native_loadgen)
+[ "$PACKED" = "true" ] && ARGS+=(--packed)
+[ "$PACKED" = "false" ] && ARGS+=(--no_packed)
 [ -n "$MLPERF_CONF" ] && ARGS+=(--mlperf_conf "$MLPERF_CONF")
 [ -n "$USER_CONF" ] && ARGS+=(--user_conf "$USER_CONF")
 [ -n "$PLATFORM" ] && ARGS+=(--platform "$PLATFORM")

