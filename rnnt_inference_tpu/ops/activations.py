@@ -13,13 +13,15 @@ clamp itself saturates at tanh(4.9) = 0.99989 vs 1.0, i.e. ~1.1e-4 absolute
 error for |x| > 4.9 — identical to the error profile the reference's int8
 submission shipped with.
 
-Selection is a trace-time switch (set_gate_act / env RNNT_GATE_ACT) read by
-ops.lstm and ops.lstm_pallas when building jitted programs.
+Selection is a trace-time switch (set_gate_act, a code-level API for
+microbenches and tests) read by ops.lstm and ops.lstm_pallas when building
+jitted programs.  The former RNNT_GATE_ACT env knob was demoted (VERDICT r4
+item 7): the approximation changes numerics and measured SLOWER on the TPU
+VPU than the exact transcendentals (docs/PERFORMANCE.md), so serving must
+never inherit it silently from the environment.
 """
 
 from __future__ import annotations
-
-import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +47,7 @@ def sigmoid_approx(x: jax.Array) -> jax.Array:
     return 0.5 * tanh_core(jnp.clip(x, -9.8, 9.8) * 0.5) + 0.5
 
 
-_GATE_ACT = _os.environ.get("RNNT_GATE_ACT", "exact")
+_GATE_ACT = "exact"
 
 
 def set_gate_act(impl: str) -> None:

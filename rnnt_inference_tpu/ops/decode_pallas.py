@@ -110,7 +110,7 @@ def unpad_state(h: jax.Array, P: int) -> jax.Array:
 
 
 def _decode_step_kernel(n_layers, blank, sos, max_sym, max_res_len, n_labels):
-    # trace-time gate selection (RNNT_GATE_ACT / set_gate_act), same switch
+    # trace-time gate selection (set_gate_act), same switch
     # ops/lstm.py and ops/lstm_pallas.py read — keeps the fused decode step
     # token-identical to the XLA body under either activation implementation
     from rnnt_inference_tpu.ops.activations import gate_fns

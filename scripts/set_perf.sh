@@ -28,9 +28,9 @@ export RNNT_DECODE_IMPL="${RNNT_DECODE_IMPL:-auto}"
 # (needs the 64 MB scoped-vmem compiler param the kernel already sets).
 export RNNT_INT8_BN="${RNNT_INT8_BN:-256}"
 
-# Gate activations: exact transcendentals (polynomial approximations are
-# an AMX-era compromise — measured SLOWER on the TPU VPU).
-export RNNT_GATE_ACT="${RNNT_GATE_ACT:-exact}"
+# Gate activations: exact transcendentals, always (polynomial
+# approximations are an AMX-era compromise — measured SLOWER on the TPU
+# VPU; the env knob was demoted to the set_gate_act() test/bench API).
 
 # Feature frontend: f32 DFT/mel matmuls (HIGHEST precision) are the
 # contract.  bf16 operands were measured token-breaking and are now
