@@ -220,7 +220,13 @@ def _quant_lstm_cat_kernel(taxis, emit_f32, bf16_gates=False):
         # Numerics change (~2^-8 gate inputs); tokens must be re-gated
         # before this could ever ship.
         i, f, g, o = jnp.split(gates.astype(jnp.bfloat16), 4, axis=-1)
-        sig = lambda v: jax.nn.sigmoid(v).astype(jnp.float32)
+        # sigmoid via tanh: jax.nn.sigmoid's logistic lowering hits a Mosaic
+        # verifier bug on bf16 inputs (f32 constant broadcast into a bf16
+        # vector); tanh lowers clean
+        half = jnp.bfloat16(0.5)
+        sig = lambda v: (
+            half * jnp.tanh(half * v) + half
+        ).astype(jnp.float32)
         tnh = lambda v: jnp.tanh(v).astype(jnp.float32)
         c_new = sig(f) * c_s[:] + sig(i) * tnh(g)
         h_new = sig(o) * tnh(c_new.astype(jnp.bfloat16))

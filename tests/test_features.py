@@ -205,3 +205,29 @@ def test_bf16_feature_matmuls():
         "tail drift shrank below the int8 step — re-evaluate enabling bf16 "
         "features by default (docs/PERFORMANCE.md bf16-featurizer entry)"
     )
+
+
+def test_fused_pallas_featurizer_matches_xla():
+    """ops/features_pallas.py (fused frames->DFT->power->mel->log kernel)
+    agrees with the XLA frontend to f32 roundoff: same operations and
+    precision, different accumulation tiling.  Kept as an A/B candidate —
+    round-5 TPU timing had it SLOWER than XLA (docs/PERFORMANCE.md), but
+    the numerics contract is pinned here so it stays usable."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnnt_inference_tpu.config import FeaturizerConfig
+    from rnnt_inference_tpu.ops.features import log_mel_features
+    from rnnt_inference_tpu.ops.features_pallas import log_mel_features_pallas
+
+    cfg = FeaturizerConfig()
+    rng = np.random.RandomState(0)
+    wav = jnp.asarray(rng.randn(8, 24000).astype(np.float32) * 0.1)
+    lens = jnp.asarray([24000] * 4 + [17000, 9000, 5000, 24000], jnp.int32)
+    a, la = jax.jit(lambda x, l: log_mel_features(x, l, cfg))(wav, lens)
+    b, lb = jax.jit(
+        lambda x, l: log_mel_features_pallas(x, l, cfg, interpret=True)
+    )(wav, lens)
+    assert np.array_equal(np.asarray(la), np.asarray(lb))
+    d = np.abs(np.asarray(a) - np.asarray(b))
+    assert d.max() < 5e-4, f"fused featurizer drift {d.max()}"
