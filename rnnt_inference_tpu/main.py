@@ -52,11 +52,16 @@ def parse_args(argv=None):
                    choices=["Offline", "Server", "SingleStream"])
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--split_len", type=int, default=-1)
-    # sequence-packed Offline serving (runtime/packing.py): the fastest
-    # measured Offline mode (+2.2% over bucketed, round 4) and the bench
-    # headline mode — now also the PRODUCT default for waveform Offline
-    # runs (perf and accuracy; token-exact vs bucketed by test).  Feature-
-    # store runs fall back to bucketed (packing featurizes waveforms).
+    # sequence-packed Offline serving (runtime/packing.py): token-exact vs
+    # bucketed by test, fully productized (native loadgen timing, mesh
+    # lanes).  Default is AUTO by measured regime (round-5 A/Bs, same
+    # emission statistics): packed wins dense cap-1 decode (+1.3%), the
+    # bucketed path wins under the product decode cap 30 (+12% — the packed
+    # lane buffer must budget max_res_len tokens for ~9 utterances and TPU
+    # scatter cost scales with the carried buffer width).  The product cap
+    # is 30 (reference config.py:14), so bare CLI runs serve bucketed;
+    # --packed forces packed (the bench headline protocol runs cap=1 where
+    # packed is the winner).  Feature-store runs are always bucketed.
     p.add_argument("--packed", dest="packed", action="store_true",
                    default=None,
                    help="force the sequence-packed Offline path")
@@ -233,13 +238,14 @@ def _run_scenario(args, weights, store, params, cfg):
     if args.scenario == "Offline":
         from rnnt_inference_tpu.runtime.harness import run_offline
 
-        # packed is the Offline default for waveform stores (the product's
-        # fastest mode must be the product's served mode — the reference
-        # serves its headline config through its one binary,
-        # launch_sut.sh:44-81); --no_packed selects bucketed explicitly
+        # auto default = the measured winner for this decode config (see
+        # parse_args --packed rationale): packed at cap 1, bucketed at the
+        # product cap; --packed/--no_packed force either mode explicitly
         packed = args.packed
         if packed is None:
-            packed = store.kind == "waveform"
+            packed = (
+                store.kind == "waveform" and params.max_symbols_per_step == 1
+            )
         elif packed and store.kind != "waveform":
             raise SystemExit("--packed requires a waveform sample store")
         if args.native_loadgen and not args.accuracy:

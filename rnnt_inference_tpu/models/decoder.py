@@ -146,10 +146,20 @@ def _greedy_decode_chunk_pallas(
     f: jax.Array,
     f_lens: jax.Array,
     params: RNNTParams,
-) -> DecodeState:
+    starts=None,
+    res_base=None,
+    utt_budget: int = 0,
+):
     """Pallas fused-step variant of the symbol loop: per iteration ONE
     kernel launch + the fproj gather + the res scatter (ops/decode_pallas.py
-    has the design notes).  Token-identical to the XLA body."""
+    has the design notes).  Token-identical to the XLA body.
+
+    starts/res_base/utt_budget: packed-timeline mode (see
+    _greedy_decode_chunk_xla) — the kernel itself is unchanged; the
+    boundary resets and the per-utterance token budget are applied in XLA
+    around it from the kernel's returned lanes (entering = the time cursor
+    advanced into a start frame; update_g = res_idx advanced).  Returns
+    (state', res_base') in this mode, plain state otherwise."""
     from rnnt_inference_tpu.ops import decode_pallas as dp
 
     T2, N, _ = f.shape
@@ -158,6 +168,7 @@ def _greedy_decode_chunk_pallas(
     finish0 = f_lens == 0
     batch_arange = jnp.arange(N, dtype=jnp.int32)
     max_iters = T2 * (params.max_symbols_per_step + 1) + 1
+    packed_mode = starts is not None
 
     jw = weights.joint
     fproj = jnp.dot(
@@ -169,11 +180,14 @@ def _greedy_decode_chunk_pallas(
     col = lambda v: v.astype(jnp.int32)[:, None]
 
     def cond(carry):
-        (_, _, _, _, _, _, _, finish, it) = carry
+        finish, it = carry[7], carry[8]
         return jnp.logical_and(~jnp.all(finish != 0), it < max_iters)
 
     def body(carry):
-        (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it) = carry
+        (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it,
+         rb) = carry
+        old_res_idx = res_idx
+        old_time = time_idx
         fi_proj = jnp.take_along_axis(fproj, time_idx[None], axis=0)[0]
         lanes, hg, cg = dp.decode_step_pallas(
             fi_proj,
@@ -182,10 +196,38 @@ def _greedy_decode_chunk_pallas(
             hg, cg, pw, params, interpret=interpret,
         )
         pre_g, time_idx, symbols_added, res_idx, finish, write_idx, symbols = lanes
+        if packed_mode:
+            # per-utterance token budget (see _greedy_decode_chunk_xla):
+            # over-budget emissions keep the decode dynamics (the kernel
+            # already committed pre_g/hg) but neither write nor advance the
+            # cursor — exactly the standalone decode's drop-past-capacity
+            can_emit = old_res_idx[:, 0] < rb + utt_budget
+            res_idx = jnp.where(can_emit[:, None], res_idx, old_res_idx)
+            write_idx = jnp.where(
+                can_emit[:, None], write_idx, params.max_res_len
+            )
         res = res.at[batch_arange, write_idx[:, 0]].set(
             symbols[:, 0].astype(res.dtype), mode="drop"
         )
-        return (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it + 1)
+        if packed_mode:
+            new_time = time_idx[:, 0]
+            entering = (
+                (new_time > old_time[:, 0])
+                & (finish[:, 0] == 0)
+                & jnp.take_along_axis(starts, new_time[None, :], axis=0)[0]
+            )
+            pre_g = jnp.where(entering[:, None], params.SOS, pre_g)
+            sel_e = entering[None, :, None]
+            hg = jnp.where(sel_e, jnp.zeros_like(hg), hg)
+            cg = jnp.where(sel_e, jnp.zeros_like(cg), cg)
+            res_idx = res_idx + entering[:, None].astype(jnp.int32)
+            midx = jnp.where(entering, res_idx[:, 0], params.max_res_len)
+            res = res.at[batch_arange, midx].set(
+                jnp.int8(PACK_BOUNDARY), mode="drop"
+            )
+            rb = jnp.where(entering, res_idx[:, 0], rb)
+        return (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish,
+                it + 1, rb)
 
     carry0 = (
         state.res,
@@ -197,9 +239,12 @@ def _greedy_decode_chunk_pallas(
         jnp.zeros((N, 1), jnp.int32),
         col(finish0),
         jnp.int32(0),
+        res_base if packed_mode else jnp.zeros((N,), jnp.int32),
     )
-    res, res_idx, pre_g, hg, cg, *_ = jax.lax.while_loop(cond, body, carry0)
-    return DecodeState(
+    (res, res_idx, pre_g, hg, cg, _t, _s, _f, _it, rb) = jax.lax.while_loop(
+        cond, body, carry0
+    )
+    out = DecodeState(
         enc=state.enc,
         res=res,
         res_idx=res_idx[:, 0],
@@ -207,6 +252,7 @@ def _greedy_decode_chunk_pallas(
         hg=dp.unpad_state(hg, P),
         cg=dp.unpad_state(cg, P),
     )
+    return (out, rb) if packed_mode else out
 
 
 def greedy_decode_chunk(
@@ -230,6 +276,39 @@ def greedy_decode_chunk(
 PACK_BOUNDARY = -2
 
 
+def greedy_decode_chunk_packed(
+    weights: RNNTWeights,
+    state: DecodeState,
+    f: jax.Array,
+    f_lens: jax.Array,
+    params: RNNTParams,
+    starts: jax.Array,
+    res_base: jax.Array,
+    utt_budget: int,
+):
+    """Packed-timeline symbol loop (starts-aware, budget-gated).
+
+    Uses the XLA while-loop body, NOT the fused Pallas step: measured
+    round 5, the Pallas step + XLA-side boundary logic scored 63,078
+    audio-s/s on the packed cap-1 headline vs 64,582 for the XLA body —
+    the packed mode's per-iteration boundary/budget ops (starts gather,
+    (L,N,PG) state resets, marker scatter, budget wheres) fuse into the
+    XLA body for free but run as standalone ops between kernel launches
+    in the Pallas variant, and at N=1024 the step kernel's launch-overhead
+    advantage is already thin.  RNNT_DECODE_IMPL=pallas still overrides
+    (token-exact by test) for re-measurement if the kernel ever grows
+    native starts support.  Returns (state', res_base')."""
+    if _DECODE_IMPL == "pallas" and _pallas_decode_eligible(weights, f.shape[1]):
+        return _greedy_decode_chunk_pallas(
+            weights, state, f, f_lens, params,
+            starts=starts, res_base=res_base, utt_budget=utt_budget,
+        )
+    return _greedy_decode_chunk_xla(
+        weights, state, f, f_lens, params,
+        starts=starts, res_base=res_base, utt_budget=utt_budget,
+    )
+
+
 def _greedy_decode_chunk_xla(
     weights: RNNTWeights,
     state: DecodeState,
@@ -237,7 +316,9 @@ def _greedy_decode_chunk_xla(
     f_lens: jax.Array,
     params: RNNTParams = RNNTParams(),
     starts=None,
-) -> DecodeState:
+    res_base=None,
+    utt_budget: int = 0,
+):
     """The XLA while_loop decode body.
 
     starts (optional {T2, N} bool) marks packed utterance-start frames
@@ -249,6 +330,21 @@ def _greedy_decode_chunk_xla(
     by an advance, so the first utterance needs no marker — lanes begin
     fresh.  With starts=None the body is the plain single-utterance-per-
     lane chunk decode.
+
+    res_base/utt_budget (packed mode only): per-utterance token budget.
+    res_base {N} int32 is each lane's marker position for the CURRENT
+    utterance (-1 before the first); an emission may write/advance only
+    while res_idx < res_base + utt_budget, i.e. each utterance keeps its
+    first utt_budget emissions — exactly the standalone decode's
+    drop-past-capacity truncation (write_idx OOB drop + clamped res_lens),
+    which harvest() already mirrors with seg[:max_res_len].  Decode
+    DYNAMICS (state commits, time advance) are unchanged by the gate, as
+    in the standalone path.  This lets the packed res buffer be sized
+    Σ_utts (min(frames·cap, budget)+1)+1 per lane instead of
+    T·cap — the round-5 bisection measured the oversized carried buffer
+    costing ~17% of the whole rep at cap=30 (per-iteration scatter cost
+    scales with the carried buffer).  Returns (state', res_base') in
+    packed mode, plain state otherwise.
     """
     T2, N, _ = f.shape
     eos_idx = jnp.maximum(f_lens - 1, 0)
@@ -267,12 +363,15 @@ def _greedy_decode_chunk_xla(
         f.astype(jw.w1_trans.dtype), jw.w1_trans, preferred_element_type=jnp.float32
     )  # (T2, N, J) f32
 
+    packed_mode = starts is not None
+
     def cond(carry):
-        (_, _, _, _, _, _, _, finish, it) = carry
+        finish, it = carry[7], carry[8]
         return jnp.logical_and(~jnp.all(finish), it < max_iters)
 
     def body(carry):
-        (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it) = carry
+        (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it,
+         rb) = carry
         # current frame's precomputed joint projection per lane
         fi_proj = jnp.take_along_axis(fproj, time_idx[None, :, None], axis=0)[0]
         # prediction is always computed from the *committed* state; it is only
@@ -298,9 +397,13 @@ def _greedy_decode_chunk_xla(
             & (symbols_added != params.max_symbols_per_step)
             & ~finish
         )
-        # 4.1-4.3: emit
-        res_idx = res_idx + update_g.astype(jnp.int32)
-        write_idx = jnp.where(update_g, res_idx, params.max_res_len)  # OOB -> drop
+        # 4.1-4.3: emit (in packed mode the cursor advance/write is gated by
+        # the per-utterance budget; dynamics below stay on update_g)
+        adv = update_g
+        if packed_mode and utt_budget > 0:
+            adv = update_g & (res_idx < rb + utt_budget)
+        res_idx = res_idx + adv.astype(jnp.int32)
+        write_idx = jnp.where(adv, res_idx, params.max_res_len)  # OOB -> drop
         res = res.at[batch_arange, write_idx].set(symbols.astype(res.dtype), mode="drop")
         symbols_added = symbols_added + update_g.astype(jnp.int32)
         pre_g = jnp.where(update_g, symbols, pre_g)
@@ -313,7 +416,7 @@ def _greedy_decode_chunk_xla(
         new_time = time_idx + update_f.astype(jnp.int32)
         finish = finish | (new_time >= f_lens)
         new_time = jnp.minimum(new_time, eos_idx)
-        if starts is not None:
+        if packed_mode:
             # packed timeline: crossing into an utterance-start frame
             entering = (
                 update_f
@@ -330,9 +433,11 @@ def _greedy_decode_chunk_xla(
             res = res.at[batch_arange, midx].set(
                 jnp.int8(PACK_BOUNDARY), mode="drop"
             )
+            rb = jnp.where(entering, res_idx, rb)
         time_idx = new_time
         symbols_added = jnp.where(update_f, 0, symbols_added)
-        return (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish, it + 1)
+        return (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish,
+                it + 1, rb)
 
     carry0 = (
         state.res,
@@ -344,11 +449,15 @@ def _greedy_decode_chunk_xla(
         jnp.zeros((N,), jnp.int32),
         finish0,
         jnp.int32(0),
+        res_base if packed_mode else jnp.zeros((N,), jnp.int32),
     )
-    res, res_idx, pre_g, hg, cg, *_ = jax.lax.while_loop(cond, body, carry0)
-    return DecodeState(
+    (res, res_idx, pre_g, hg, cg, _t, _s, _f, _it, rb) = jax.lax.while_loop(
+        cond, body, carry0
+    )
+    out = DecodeState(
         enc=state.enc, res=res, res_idx=res_idx, pre_g=pre_g, hg=hg, cg=cg
     )
+    return (out, rb) if packed_mode else out
 
 
 def decode_chunk(

