@@ -196,11 +196,14 @@ def _greedy_decode_chunk_pallas(
             hg, cg, pw, params, interpret=interpret,
         )
         pre_g, time_idx, symbols_added, res_idx, finish, write_idx, symbols = lanes
-        if packed_mode:
+        if packed_mode and utt_budget > 0:
             # per-utterance token budget (see _greedy_decode_chunk_xla):
             # over-budget emissions keep the decode dynamics (the kernel
             # already committed pre_g/hg) but neither write nor advance the
-            # cursor — exactly the standalone decode's drop-past-capacity
+            # cursor — exactly the standalone decode's drop-past-capacity.
+            # utt_budget == 0 means the gate can never bind (packing.py
+            # stage() checks frames*cap <= budget for every utterance) and
+            # is skipped — rb + 0 would otherwise gate EVERYTHING off.
             can_emit = old_res_idx[:, 0] < rb + utt_budget
             res_idx = jnp.where(can_emit[:, None], res_idx, old_res_idx)
             write_idx = jnp.where(

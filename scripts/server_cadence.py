@@ -95,14 +95,25 @@ def main():
     else:
         weights = init_weights(jax.random.PRNGKey(0), params, dtype=jnp.bfloat16)
 
-    # realistic emission rate for the active row (the decode while_loop's
-    # iteration count is emission-dependent); reuses the bench calibrator
-    from bench import bias_joint_toward_blank
+    # realistic emission for the active row (the decode while_loop's
+    # iteration count is emission-dependent); reuses the bench calibrators.
+    # CAD_EMISSION=burst + CAD_SYM_CAP=30 measures the PRODUCT decode
+    # config's sustained cadence with trained-model-like burst statistics
+    # (replay the bench-calibrated triple via CAD_BURST_DELTA).
+    if os.environ.get("CAD_EMISSION", "blank") == "burst":
+        from bench import bias_joint_burst
 
-    weights = bias_joint_toward_blank(
-        weights, params, cfg, target_rate=0.8,
-        fixed_delta=os.environ.get("BENCH_BLANK_DELTA"),
-    )
+        weights = bias_joint_burst(
+            weights, params, cfg,
+            fixed=os.environ.get("CAD_BURST_DELTA", "4:-0.0312:2.82843"),
+        )
+    else:
+        from bench import bias_joint_toward_blank
+
+        weights = bias_joint_toward_blank(
+            weights, params, cfg, target_rate=0.8,
+            fixed_delta=os.environ.get("BENCH_BLANK_DELTA"),
+        )
 
     enc_dtype = weights.pre_rnn[0].w_ih.dtype
     pred_dtype = weights.pred_rnn[0].w_ih.dtype
@@ -212,6 +223,7 @@ def main():
         "dispatch_chain_ms_per_step": round(dispatch_ms, 3),
         "slots": slots, "split": split, "k": K,
         "sym_cap": sym_cap,
+        "emission": os.environ.get("CAD_EMISSION", "blank"),
         "capacity_audio_s_per_s": round(cap, 0),
     }))
 

@@ -292,3 +292,34 @@ def test_packed_pallas_step_matches_xla():
     assert len(tok_p) == len(tok_x) == len(store)
     for a, b in zip(tok_p, tok_x):
         assert np.array_equal(a, b)
+
+
+def test_packed_pallas_step_gate_off_matches_xla():
+    """With a budget that can never bind (cap 1: frames*1 <= max_res_len),
+    stage() passes utt_budget=0 and BOTH decode impls must skip the gate —
+    a regression test for the Pallas packed body gating everything off at
+    utt_budget=0 (rb starts at -1, so res_idx < rb + 0 is always False)."""
+    from rnnt_inference_tpu.models.decoder import set_decode_impl
+
+    params = dataclasses.replace(SMALL, max_symbols_per_step=1)
+    w = init_weights(jax.random.PRNGKey(8), params)
+    store = _store(6, seed=12, max_seconds=1.0)
+    qsl = QuerySampleLibrary(store, CFG, wav_buckets_s=(1.0,))
+
+    def run(impl):
+        set_decode_impl(impl)
+        try:
+            runner = PackedOfflineRunner(
+                w, params, CFG, n_lanes=8, chunk_frames=8, batch_size=8
+            )
+            runner.stage(qsl)
+            assert runner._utt_budget == 0  # cap 1 can never exceed budget
+            return runner.run_device().tokens
+        finally:
+            set_decode_impl("auto")
+
+    tok_x = run("xla")
+    tok_p = run("pallas")
+    assert sum(len(t) for t in tok_x) > 0, "no emissions — test is vacuous"
+    for a, b in zip(tok_p, tok_x):
+        assert np.array_equal(a, b)
