@@ -105,6 +105,36 @@ def _emit_unavailable(why: str):
     os._exit(rc)
 
 
+def _bisect_delta(rate, target_rate, iters):
+    """Bracket + bisect the blank delta for a MEASURED emission rate.
+
+    `rate(delta)` is monotone DECREASING in delta; random inits can start
+    blank-dominated (needing delta < 0), so both bracket ends expand
+    geometrically first.  The rate-vs-delta curve can have cliffs (per-frame
+    emission margins cluster), so the best point actually EVALUATED is
+    returned, not the final midpoint.  Shared by the blank and burst
+    emission calibrators."""
+    evals = []
+
+    def probe(delta):
+        r = rate(delta)
+        evals.append((delta, r))
+        return r
+
+    lo, hi = -1.0, 1.0
+    while probe(lo) <= target_rate and lo > -4096:
+        lo *= 4
+    while probe(hi) > target_rate and hi < 4096:
+        hi *= 4
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if probe(mid) > target_rate:
+            lo = mid
+        else:
+            hi = mid
+    return min(evals, key=lambda dr: abs(dr[1] - target_rate))
+
+
 def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
                             fixed_delta=None):
     """Shift the joint's blank logit so the decode emits ~target_rate symbols
@@ -175,31 +205,11 @@ def bias_joint_toward_blank(weights, params, cfg, target_rate=0.8, seed=123,
         def with_delta(delta: float, amp=amp):
             return biased_joint(amp, delta)
 
-        evals = []
-
         def rate(delta: float) -> float:
             _, rlens = greedy_decode(with_delta(delta), feats, flens, params=params)
-            r = float(_np.sum(_np.asarray(rlens))) / frames
-            evals.append((delta, r))
-            return r
+            return float(_np.sum(_np.asarray(rlens))) / frames
 
-        # rate is monotone DECREASING in delta; bracket the target from both
-        # sides (random inits can start blank-dominated, needing delta < 0)
-        lo, hi = -1.0, 1.0
-        while rate(lo) <= target_rate and lo > -4096:
-            lo *= 4
-        while rate(hi) > target_rate and hi < 4096:
-            hi *= 4
-        for _ in range(14):
-            mid = 0.5 * (lo + hi)
-            if rate(mid) > target_rate:
-                lo = mid
-            else:
-                hi = mid
-        # the rate-vs-delta curve can have cliffs (per-frame emission margins
-        # cluster); the final midpoint may sit on the wrong side of one —
-        # keep the best point actually EVALUATED during the bisection
-        delta, r = min(evals, key=lambda dr: abs(dr[1] - target_rate))
+        delta, r = _bisect_delta(rate, target_rate, iters=14)
         log(f"blank-bias calibration: amp={amp:g} delta={delta:.4f} -> "
             f"{r:.2f} symbols/frame (target {target_rate})")
         if best is None or abs(r - target_rate) < abs(best[2] - target_rate):
@@ -361,25 +371,11 @@ def bias_joint_burst(weights, params, cfg, target_rate=0.84,
     def calibrated(kappa):
         """Bisect delta for target_rate at this kappa; return
         (delta, rate, burst_factor)."""
-        evals = []
 
         def rate(delta):
-            r = symbols(biased_joint(amp, delta, kappa), params) / frames
-            evals.append((delta, r))
-            return r
+            return symbols(biased_joint(amp, delta, kappa), params) / frames
 
-        lo, hi = -1.0, 1.0
-        while rate(lo) <= target_rate and lo > -4096:
-            lo *= 4
-        while rate(hi) > target_rate and hi < 4096:
-            hi *= 4
-        for _ in range(12):
-            mid = 0.5 * (lo + hi)
-            if rate(mid) > target_rate:
-                lo = mid
-            else:
-                hi = mid
-        delta, r = min(evals, key=lambda dr: abs(dr[1] - target_rate))
+        delta, r = _bisect_delta(rate, target_rate, iters=12)
         sym_cap = symbols(biased_joint(amp, delta, kappa), params)
         sym_1 = symbols(biased_joint(amp, delta, kappa), params1)
         burst = sym_cap / max(sym_1, 1.0)

@@ -27,14 +27,17 @@ Three phases per rep, all device-side:
   C. compaction + chunked greedy decode: the encoder outputs are COMPACTED
      (chunk-tail pad frames gathered away) into per-lane contiguous
      timelines and decoded by a decode_chunk-frame lax.scan of the
-     standard symbol loop whose only packing awareness is `starts`:
-     advancing into an utterance-start frame resets the lane's prediction
-     state exactly as a standalone decode would begin, and drops a
-     PACK_BOUNDARY marker into the token buffer so the host can split
-     per-utterance tokens afterwards (models/decoder.py
-     _greedy_decode_chunk_xla; boundary-aligned starts are reset between
-     chunks).  Balanced lanes (longest-first bin-packing) keep the loop's
-     max-lane skew to ~1-2% vs the per-bucket max the batched path pays.
+     standard symbol loop whose packing awareness is `starts` plus a
+     per-utterance token budget: advancing into an utterance-start frame
+     resets the lane's prediction state exactly as a standalone decode
+     would begin and drops a PACK_BOUNDARY marker into the token buffer so
+     the host can split per-utterance tokens afterwards, and each
+     utterance keeps at most max_res_len tokens (the standalone decode's
+     truncation) so the carried res buffer stays small at any symbol cap
+     (models/decoder.py greedy_decode_chunk_packed; boundary-aligned
+     starts are reset between chunks).  Balanced lanes (longest-first
+     bin-packing) keep the loop's max-lane skew to ~1-2% vs the
+     per-bucket max the batched path pays.
 
 Why this is exact: the split_len streaming scan is token-identical to the
 non-streaming decode by test, the masked reset gives each utterance the
@@ -451,10 +454,11 @@ class PackedOfflineRunner:
                 budget_binds |= F2 * cap > budget
                 need += min(F2 * cap, budget) + 1
             lane_need = max(lane_need, need)
-        # the budget gate costs ~2 VPU ops per decode iteration (~1.7% of
-        # the cap-1 headline, measured); when no utterance can possibly
-        # exceed the budget (frames*cap <= budget for all — always true at
-        # cap 1), disable it so the loop body is the ungated one
+        # the budget gate adds ~2 VPU ops per decode iteration (same-session
+        # A/B measured it within noise, but it buys nothing when it cannot
+        # bind); when no utterance can possibly exceed the budget
+        # (frames*cap <= budget for all — always true at cap 1), disable it
+        # so the loop body is the ungated one
         self._utt_budget = int(budget) if budget_binds else 0
         res_env = _os.environ.get("RNNT_PACK_RES_LEN")
         self._params_pack = dataclasses.replace(
