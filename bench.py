@@ -271,7 +271,6 @@ def bias_joint_burst(weights, params, cfg, target_rate=0.84,
 
     import numpy as _np
 
-    from rnnt_inference_tpu.data.dataset import speechlike_noise
     from rnnt_inference_tpu.models.decoder import greedy_decode
     from rnnt_inference_tpu.ops.features import log_mel_features
 
@@ -353,72 +352,95 @@ def bias_joint_burst(weights, params, cfg, target_rate=0.84,
         log(f"burst-bias: fixed amp={amp:g} delta={delta:.4f} kappa={kappa:g}")
         return biased_joint(amp, delta, kappa)
 
+    # Calibration data: fixed 4 s speechlike windows — DELIBERATE, after two
+    # measured attempts at store-duration-matched calibration failed
+    # (measurements/, round 5): per-utterance normalization + short-
+    # utterance variance spread per-utterance emission rates so widely that
+    # every operating point with ON-TARGET MEAN rate has storming tails at
+    # store scale (mean 0.90/0.96 sym/frame calibrations measured 1.96 and
+    # 0.96 sym/frame with +67% and +148% lock-step skew, collapsing to
+    # 9.9-13.2k audio-s/s) — tails real speech does not have.  The fixed-
+    # window calibration lands at the conservative tail-clean operating
+    # point (store-measured ~0.32 sym/frame, +2% skew); its light mean is
+    # the documented caveat, and the cap-1 blank row (0.93 sym/frame, clean
+    # tails, cap-independent per-iteration cost) is the better proxy for
+    # real cap-30 ITERATION cost.
     rng = _np.random.RandomState(seed)
-    wav = jnp.asarray(
-        _np.stack([speechlike_noise(rng, 64000) for _ in range(8)])
+    from rnnt_inference_tpu.data.dataset import speechlike_noise
+
+    wav_np = _np.stack([speechlike_noise(rng, 64000) for _ in range(8)])
+    lens_np = _np.full((8,), 64000, _np.int32)
+    feats, flens = jax.jit(lambda a, b: log_mel_features(a, b, cfg))(
+        jnp.asarray(wav_np), jnp.asarray(lens_np)
     )
-    lens = jnp.full((8,), 64000, jnp.int32)
-    feats, flens = jax.jit(lambda a, b: log_mel_features(a, b, cfg))(wav, lens)
-    frames = float(jnp.sum(-(-flens // params.stack_time_factor)))
+    frames_u = _np.maximum(
+        _np.asarray(-(-flens // params.stack_time_factor)), 1
+    ).astype(_np.float64)
+    frames = float(frames_u.sum())
     params1 = dc.replace(params, max_symbols_per_step=1)
 
     def symbols(w, p):
+        """-> (total symbols, per-utterance max rate) on the calib sample."""
         _, rlens = greedy_decode(w, feats, flens, params=p)
-        return float(_np.sum(_np.asarray(rlens)))
+        r = _np.asarray(rlens, _np.float64)
+        return float(r.sum()), float((r / frames_u).max())
 
     amp = 4.0  # frame-feature variability backstop (see bias_joint_toward_blank)
 
     def calibrated(kappa):
         """Bisect delta for target_rate at this kappa; return
-        (delta, rate, burst_factor)."""
+        (delta, rate, burst_factor, tail) — tail = the worst single
+        utterance's symbols/frame, the storm detector."""
 
         def rate(delta):
-            return symbols(biased_joint(amp, delta, kappa), params) / frames
+            return symbols(biased_joint(amp, delta, kappa), params)[0] / frames
 
         delta, r = _bisect_delta(rate, target_rate, iters=12)
-        sym_cap = symbols(biased_joint(amp, delta, kappa), params)
-        sym_1 = symbols(biased_joint(amp, delta, kappa), params1)
+        sym_cap, tail = symbols(biased_joint(amp, delta, kappa), params)
+        sym_1, _ = symbols(biased_joint(amp, delta, kappa), params1)
         burst = sym_cap / max(sym_1, 1.0)
         log(f"burst calibration: kappa={kappa:g} delta={delta:.4f} -> "
-            f"{r:.2f} sym/frame, burst factor {burst:.3f} "
-            f"(targets {target_rate}, {target_burst})")
-        return delta, r, burst
+            f"{r:.2f} sym/frame, burst factor {burst:.3f}, worst-utt "
+            f"{tail:.2f} sym/frame (targets {target_rate}, {target_burst})")
+        return delta, r, burst, tail
 
     # kappa ladder: burst factor falls from ~cap (kappa=0 storms) toward 1
     # as suppression grows; bracket the target, then bisect kappa
+    # a candidate is admissible only if its mean rate is in band AND no
+    # calibration utterance CAP-STORMS (worst-utt rate bounded well below
+    # the cap): weak suppression can look on-target in the mean while a
+    # minority of utterances burst to the cap — which the 8192-utterance
+    # store then amplifies into heavy lock-step lane tails (a 12-utt
+    # calibration once passed mean 1.06 that measured 1.96 sym/frame with
+    # +67% skew at store scale).  This synthetic family cannot hold mean
+    # ~0.84 with every utterance under ~2.5 sym/frame (per-utterance
+    # normalization + short-utterance variance spread the per-utterance
+    # rates), so the gate only excludes storms; the bench log's store-level
+    # skew/symbols-per-frame line is the final health check.  The per-kappa
+    # rate bisection is cliffy (per-utterance margins cluster), so single
+    # out-of-band points say nothing about neighbors: scan the WHOLE
+    # ladder, then refine geometrically around the best admissible point.
+    tail_cap = min(10.0, 0.4 * params.max_symbols_per_step)
+    ladder = (0.03125, 0.0625, 0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0,
+              16.0, 32.0)
     best = None  # (|burst-target|, kappa, delta, r, burst)
-    prev = None  # (kappa, burst)
-    for kappa in (0.03125, 0.0625, 0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0,
-                  16.0, 32.0, 64.0):
-        delta, r, burst = calibrated(kappa)
-        rate_ok = 0.5 * target_rate <= r <= 2.0 * target_rate
-        if rate_ok:
+
+    def consider(kappa):
+        nonlocal best
+        delta, r, burst, tail = calibrated(kappa)
+        if 0.5 * target_rate <= r <= 2.0 * target_rate and tail <= tail_cap:
             cand = (abs(burst - target_burst), kappa, delta, r, burst)
             if best is None or cand < best:
                 best = cand
-        if not rate_ok:
-            # rate calibration collapsed (suppression froze emission) — the
-            # burst number is meaningless, never treat it as a bracket; the
-            # ladder has overshot, stop raising kappa
-            if prev is not None:
-                break
-            continue
-        if burst <= target_burst:
-            if prev is not None:
-                k_lo, k_hi = prev[0], kappa  # burst(k_lo) > target > burst(k_hi)
-                for _ in range(4):
-                    k_mid = (k_lo * k_hi) ** 0.5
-                    delta, r, burst = calibrated(k_mid)
-                    if 0.5 * target_rate <= r <= 2.0 * target_rate:
-                        cand = (abs(burst - target_burst), k_mid, delta, r, burst)
-                        if best is None or cand < best:
-                            best = cand
-                    if burst > target_burst:
-                        k_lo = k_mid
-                    else:
-                        k_hi = k_mid
-            break
-        prev = (kappa, burst)
+        return burst
+
+    for kappa in ladder:
+        consider(kappa)
+    if best is not None:
+        # refine between the best kappa and its ladder neighbors
+        k = best[1]
+        for k_mid in (k / 2 ** 0.5, k * 2 ** 0.5, k / 2 ** 0.25, k * 2 ** 0.25):
+            consider(k_mid)
     assert best is not None, "burst calibration failed at every kappa"
     _, kappa, delta, r, burst = best
     log(f"burst-bias: using amp={amp:g} delta={delta:.4f} kappa={kappa:g} "
