@@ -78,17 +78,28 @@ def jobs(blank_delta):
         # cap-30 rows: protocol replay (storming) + calibrated burst model
         ("symcap30", bench, bench_env(BENCH_SYM_CAP="30", BENCH_PACKED="1"),
          5400),
+        # the cap-30 burst rows: BUCKETED is the product-relevant one (the
+        # auto default at the product cap); the packed variant tracks the
+        # budgeted-buffer path.  Burst calibrates its own (amp, delta,
+        # kappa) triple on the first leg; no blank replay.
         ("symcap30_burst", bench,
-         # burst calibrates its own (amp, delta, s); no blank replay
-         {"BENCH_SYM_CAP": "30", "BENCH_EMISSION": "burst"}, 7200),
+         {"BENCH_SYM_CAP": "30", "BENCH_EMISSION": "burst",
+          "BENCH_PACKED": "0"}, 9000),
+        ("symcap30_burst_packed", bench,
+         {"BENCH_SYM_CAP": "30", "BENCH_EMISSION": "burst",
+          "BENCH_PACKED": "1"}, 9000),
         # int8 encoder: plain control + bf16-transcendental VPU probe
         ("int8_plain", [PY, os.path.join(REPO, "scripts/bench_int8_bn.py"),
                         "1024", "500"], {}, 3600),
         ("int8_gate_bf16", [PY, os.path.join(REPO, "scripts/bench_int8_bn.py"),
                             "1024", "500"], {"RNNT_INT8_GATE_BF16": "1"}, 3600),
-        # dispatch-free Server step cadence (replaces the dispatch-chain row)
+        # dispatch-free Server step cadence (replaces the dispatch-chain
+        # row) + the product-cap burst variant
         ("server_cadence", [PY, os.path.join(REPO, "scripts/server_cadence.py")],
          dict(delta_env), 5400),
+        ("server_cadence_burst",
+         [PY, os.path.join(REPO, "scripts/server_cadence.py")],
+         {"CAD_EMISSION": "burst", "CAD_SYM_CAP": "30"}, 5400),
         # frontend stage attribution (before/instead of a fused kernel)
         ("features_phases", [PY,
                              os.path.join(REPO, "scripts/bench_features_phases.py"),
