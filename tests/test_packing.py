@@ -323,3 +323,27 @@ def test_packed_pallas_step_gate_off_matches_xla():
     assert sum(len(t) for t in tok_x) > 0, "no emissions — test is vacuous"
     for a, b in zip(tok_p, tok_x):
         assert np.array_equal(a, b)
+
+
+def test_offline_native_packed_mesh_tokens():
+    """run_offline_native(packed=True, mesh=...): the native-clock packed
+    serve loop with lanes sharded over "data" completes the same first-cycle
+    tokens as the unsharded run (the full product stack: native timing +
+    packing + mesh in one path)."""
+    from rnnt_inference_tpu.parallel.mesh import make_mesh
+    from rnnt_inference_tpu.runtime.harness import run_offline_native
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (virtual CPU) mesh")
+    store = _store(6, seed=13, max_seconds=1.0)
+    w = init_weights(jax.random.PRNGKey(4), SMALL)
+    kw = dict(batch_size=n_dev, target_qps=10.0, min_query_count=6,
+              min_duration_s=0.0, warmup=False, packed=True,
+              chunk_frames=8, decode_chunk=16)
+    ref = run_offline_native(w, store, SMALL, CFG, **kw)
+    mesh = make_mesh(n_dev, model_parallel=1)
+    with mesh:
+        got = run_offline_native(w, store, SMALL, CFG, mesh=mesh, **kw)
+    assert got.extra["packed"] is True and got.extra["timing"] == "native"
+    assert got.hypotheses == ref.hypotheses
