@@ -209,10 +209,11 @@ def _greedy_decode_chunk_pallas(
             write_idx = jnp.where(
                 can_emit[:, None], write_idx, params.max_res_len
             )
-        res = res.at[batch_arange, write_idx[:, 0]].set(
-            symbols[:, 0].astype(res.dtype), mode="drop"
-        )
-        if packed_mode:
+        if not packed_mode:
+            res = res.at[batch_arange, write_idx[:, 0]].set(
+                symbols[:, 0].astype(res.dtype), mode="drop"
+            )
+        else:
             new_time = time_idx[:, 0]
             entering = (
                 (new_time > old_time[:, 0])
@@ -224,10 +225,14 @@ def _greedy_decode_chunk_pallas(
             hg = jnp.where(sel_e, jnp.zeros_like(hg), hg)
             cg = jnp.where(sel_e, jnp.zeros_like(cg), cg)
             res_idx = res_idx + entering[:, None].astype(jnp.int32)
-            midx = jnp.where(entering, res_idx[:, 0], params.max_res_len)
-            res = res.at[batch_arange, midx].set(
-                jnp.int8(PACK_BOUNDARY), mode="drop"
+            # ONE merged scatter per iteration: emitting and entering are
+            # mutually exclusive per lane (see the XLA body)
+            midx = jnp.where(entering, res_idx[:, 0], write_idx[:, 0])
+            val = jnp.where(
+                entering, jnp.int8(PACK_BOUNDARY),
+                symbols[:, 0].astype(res.dtype),
             )
+            res = res.at[batch_arange, midx].set(val, mode="drop")
             rb = jnp.where(entering, res_idx[:, 0], rb)
         return (res, res_idx, pre_g, hg, cg, time_idx, symbols_added, finish,
                 it + 1, rb)
@@ -401,13 +406,21 @@ def _greedy_decode_chunk_xla(
             & ~finish
         )
         # 4.1-4.3: emit (in packed mode the cursor advance/write is gated by
-        # the per-utterance budget; dynamics below stay on update_g)
+        # the per-utterance budget; dynamics below stay on update_g).  In
+        # packed mode the token write itself is DEFERRED and merged with the
+        # boundary-marker write into ONE scatter per iteration (emitting and
+        # entering are mutually exclusive per lane) — scatters are the
+        # iteration's serial bottleneck on TPU (cost scales with the carried
+        # buffer width, round-5 bisection).
         adv = update_g
         if packed_mode and utt_budget > 0:
             adv = update_g & (res_idx < rb + utt_budget)
         res_idx = res_idx + adv.astype(jnp.int32)
         write_idx = jnp.where(adv, res_idx, params.max_res_len)  # OOB -> drop
-        res = res.at[batch_arange, write_idx].set(symbols.astype(res.dtype), mode="drop")
+        if not packed_mode:
+            res = res.at[batch_arange, write_idx].set(
+                symbols.astype(res.dtype), mode="drop"
+            )
         symbols_added = symbols_added + update_g.astype(jnp.int32)
         pre_g = jnp.where(update_g, symbols, pre_g)
         sel = update_g[None, :, None]
@@ -432,10 +445,11 @@ def _greedy_decode_chunk_xla(
             hg = jnp.where(sel_e, jnp.zeros_like(hg), hg)
             cg = jnp.where(sel_e, jnp.zeros_like(cg), cg)
             res_idx = res_idx + entering.astype(jnp.int32)
-            midx = jnp.where(entering, res_idx, params.max_res_len)
-            res = res.at[batch_arange, midx].set(
-                jnp.int8(PACK_BOUNDARY), mode="drop"
+            midx = jnp.where(entering, res_idx, write_idx)
+            val = jnp.where(
+                entering, jnp.int8(PACK_BOUNDARY), symbols.astype(res.dtype)
             )
+            res = res.at[batch_arange, midx].set(val, mode="drop")
             rb = jnp.where(entering, res_idx, rb)
         time_idx = new_time
         symbols_added = jnp.where(update_f, 0, symbols_added)
