@@ -468,8 +468,19 @@ def _greedy_decode_chunk_xla(
         jnp.int32(0),
         res_base if packed_mode else jnp.zeros((N,), jnp.int32),
     )
+    loop_body = body
+    if packed_mode:
+        # 2x-unrolled body: the XLA while body is per-iteration
+        # overhead-bound (round-2 decode ablation: ~31 us of op-launch gaps
+        # around ~19 us of compute at N=512), and every update in the body
+        # is ~finish-gated, so applying it to a finished lane is a no-op —
+        # two applications per trip are token-exact while halving the
+        # cond/loop overhead.  (The bucketed path gets the same effect from
+        # the fused Pallas step, which packed mode cannot use — see
+        # greedy_decode_chunk_packed.)
+        loop_body = lambda carry: body(body(carry))
     (res, res_idx, pre_g, hg, cg, _t, _s, _f, _it, rb) = jax.lax.while_loop(
-        cond, body, carry0
+        cond, loop_body, carry0
     )
     out = DecodeState(
         enc=state.enc, res=res, res_idx=res_idx, pre_g=pre_g, hg=hg, cg=cg
