@@ -249,8 +249,10 @@ def _greedy_decode_chunk_pallas(
         jnp.int32(0),
         res_base if packed_mode else jnp.zeros((N,), jnp.int32),
     )
+    # 2x unroll — same finish-gated-no-op argument as the XLA body; halves
+    # the loop-cond all-reduce and trip overhead around the fused kernel
     (res, res_idx, pre_g, hg, cg, _t, _s, _f, _it, rb) = jax.lax.while_loop(
-        cond, body, carry0
+        cond, lambda c: body(body(c)), carry0
     )
     out = DecodeState(
         enc=state.enc,
@@ -468,17 +470,13 @@ def _greedy_decode_chunk_xla(
         jnp.int32(0),
         res_base if packed_mode else jnp.zeros((N,), jnp.int32),
     )
-    loop_body = body
-    if packed_mode:
-        # 2x-unrolled body: the XLA while body is per-iteration
-        # overhead-bound (round-2 decode ablation: ~31 us of op-launch gaps
-        # around ~19 us of compute at N=512), and every update in the body
-        # is ~finish-gated, so applying it to a finished lane is a no-op —
-        # two applications per trip are token-exact while halving the
-        # cond/loop overhead.  (The bucketed path gets the same effect from
-        # the fused Pallas step, which packed mode cannot use — see
-        # greedy_decode_chunk_packed.)
-        loop_body = lambda carry: body(body(carry))
+    # 2x-unrolled body: the XLA while body is per-iteration overhead-bound
+    # (round-2 decode ablation: ~31 us of op-launch gaps around ~19 us of
+    # compute at N=512), and every update in the body is ~finish-gated, so
+    # applying it to a finished lane is a no-op — two applications per trip
+    # are token-exact while halving the cond/loop overhead (measured +0.5%
+    # on the packed cap-1 headline).
+    loop_body = lambda carry: body(body(carry))
     (res, res_idx, pre_g, hg, cg, _t, _s, _f, _it, rb) = jax.lax.while_loop(
         cond, loop_body, carry0
     )
