@@ -126,6 +126,23 @@ def set_decode_impl(impl: str) -> None:
     _DECODE_IMPL = impl
 
 
+# While-body unroll depth (both bodies). Token-exact at ANY depth: every
+# update in the body is finish-gated, so extra applications to finished
+# lanes are no-ops — unrolling only amortizes the loop-cond all-reduce and
+# per-trip overhead around the compute. 2 measured +0.5% on the packed
+# cap-1 headline (round 5); the env knob exists to A/B other depths.
+_DECODE_UNROLL = max(1, int(_os.environ.get("RNNT_DECODE_UNROLL", "2")))
+
+
+def _unrolled(body):
+    def loop_body(carry):
+        for _ in range(_DECODE_UNROLL):
+            carry = body(carry)
+        return carry
+
+    return loop_body
+
+
 def _resolved_impl() -> str:
     if _DECODE_IMPL == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -249,10 +266,11 @@ def _greedy_decode_chunk_pallas(
         jnp.int32(0),
         res_base if packed_mode else jnp.zeros((N,), jnp.int32),
     )
-    # 2x unroll — same finish-gated-no-op argument as the XLA body; halves
-    # the loop-cond all-reduce and trip overhead around the fused kernel
+    # Unrolled (default 2x) — same finish-gated-no-op argument as the XLA
+    # body; divides the loop-cond all-reduce and trip overhead around the
+    # fused kernel by the depth.
     (res, res_idx, pre_g, hg, cg, _t, _s, _f, _it, rb) = jax.lax.while_loop(
-        cond, lambda c: body(body(c)), carry0
+        cond, _unrolled(body), carry0
     )
     out = DecodeState(
         enc=state.enc,
@@ -470,15 +488,14 @@ def _greedy_decode_chunk_xla(
         jnp.int32(0),
         res_base if packed_mode else jnp.zeros((N,), jnp.int32),
     )
-    # 2x-unrolled body: the XLA while body is per-iteration overhead-bound
-    # (round-2 decode ablation: ~31 us of op-launch gaps around ~19 us of
-    # compute at N=512), and every update in the body is ~finish-gated, so
-    # applying it to a finished lane is a no-op — two applications per trip
-    # are token-exact while halving the cond/loop overhead (measured +0.5%
-    # on the packed cap-1 headline).
-    loop_body = lambda carry: body(body(carry))
+    # Unrolled body (default 2x): the XLA while body is per-iteration
+    # overhead-bound (round-2 decode ablation: ~31 us of op-launch gaps
+    # around ~19 us of compute at N=512), and every update in the body is
+    # ~finish-gated, so applying it to a finished lane is a no-op — N
+    # applications per trip are token-exact while dividing the cond/loop
+    # overhead (2x measured +0.5% on the packed cap-1 headline).
     (res, res_idx, pre_g, hg, cg, _t, _s, _f, _it, rb) = jax.lax.while_loop(
-        cond, loop_body, carry0
+        cond, _unrolled(body), carry0
     )
     out = DecodeState(
         enc=state.enc, res=res, res_idx=res_idx, pre_g=pre_g, hg=hg, cg=cg
