@@ -134,3 +134,25 @@ def test_symbol_cap_matches_reference(cap):
     np.testing.assert_array_equal(np.asarray(res), res_ref)
 
 
+
+
+@pytest.mark.parametrize("depth", [1, 3])
+def test_unroll_depth_token_exact(depth, monkeypatch):
+    """RNNT_DECODE_UNROLL composes the while body N times per trip; every
+    update is finish-gated so any depth must be token-exact vs the default
+    (2x).  Pins the perf knob so deeper-unroll A/Bs never change tokens."""
+    from rnnt_inference_tpu.models import decoder as dec
+
+    params = SMALL
+    T, N = 16, 5
+    w = init_weights(jax.random.PRNGKey(77), params)
+    x, x_lens = _make_inputs(T, N, params, seed=3)
+    res0, lens0 = greedy_decode(w, x, x_lens, params=params)
+
+    monkeypatch.setattr(dec, "_DECODE_UNROLL", depth)
+    # new python callable -> new jit cache entry traces at the new depth
+    res1, lens1 = jax.jit(
+        lambda w, x, l: dec.greedy_decode.__wrapped__(w, x, l, params=params)
+    )(w, x, x_lens)
+    assert np.array_equal(np.asarray(res0), np.asarray(res1))
+    assert np.array_equal(np.asarray(lens0), np.asarray(lens1))
